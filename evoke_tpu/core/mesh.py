@@ -1,0 +1,79 @@
+"""Device mesh + sharding helpers.
+
+The reference's only multi-device strategy is single-process ``torch.nn.DataParallel``
+(EVOKE modules/trainer_v0401.py:28-29). The TPU-native equivalent is an SPMD mesh
+over ICI with GSPMD-partitioned jitted steps: batch arrays sharded on the ``dp``
+axis, params replicated (optionally sharded on ``mp`` for tensor parallelism),
+XLA inserting ``all-gather``/``psum`` for the global-batch contrastive matrices
+and gradient reductions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass(frozen=True)
+class MeshSpec:
+    """Logical mesh: dp = data parallel, mp = model (tensor) parallel."""
+
+    dp: int = 1
+    mp: int = 1
+
+    @property
+    def n_devices(self) -> int:
+        return self.dp * self.mp
+
+
+def create_mesh(spec: Optional[MeshSpec] = None, devices: Optional[Sequence[Any]] = None) -> Mesh:
+    """Create a Mesh with axes ('dp', 'mp') over the given (or all) devices.
+
+    With spec=None, uses all visible devices on the dp axis. The dp axis is laid
+    out over contiguous devices so collectives ride ICI within a slice.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if spec is None:
+        spec = MeshSpec(dp=len(devices), mp=1)
+    if spec.n_devices > len(devices):
+        raise ValueError(f"mesh {spec} needs {spec.n_devices} devices, have {len(devices)}")
+    devs = np.asarray(devices[: spec.n_devices]).reshape(spec.dp, spec.mp)
+    return Mesh(devs, axis_names=("dp", "mp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a batch-leading array: shard dim 0 over dp, replicate the rest."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put a pytree of host arrays, sharding every leaf's leading dim over dp.
+
+    Scalars / 0-d leaves are replicated. Leading dims must be divisible by dp
+    (the data pipeline pads batches to a fixed size that is a multiple of dp).
+    """
+    dp = mesh.shape["dp"]
+    sharded = batch_sharding(mesh)
+    repl = replicate(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0 or x.shape[0] % dp != 0:
+            return jax.device_put(x, repl)
+        return jax.device_put(x, sharded)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def local_slice(total: int, mesh: Mesh) -> int:
+    """Per-device slice size of a dp-sharded leading dim."""
+    return total // mesh.shape["dp"]

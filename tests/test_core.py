@@ -1,0 +1,87 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evoke_tpu.core.config import EvokeConfig, load_config
+from evoke_tpu.core.mesh import MeshSpec, create_mesh, shard_batch
+from evoke_tpu.core import prng
+
+
+class TestConfig:
+    def test_defaults_match_reference_yaml(self):
+        cfg = EvokeConfig()
+        # canonical knobs from EVOKE config/finetune_config.yaml
+        assert cfg.model.d_model == 512
+        assert cfg.model.rm_num_slots == 3
+        assert cfg.decode.beam_size == 3
+        assert cfg.loss.instance_temp == 0.5
+        assert cfg.trainer.seed == 9233
+        assert cfg.optim.weight_decay == 1e-4
+        assert cfg.data.max_seq_len == 100
+
+    def test_monitor_selection_by_task(self):
+        cfg = EvokeConfig()
+        cfg.trainer.task = "pretrain"
+        assert cfg.monitor_mode == "min" and cfg.monitor_metric == "all_loss"
+        cfg.trainer.task = "finetune"
+        assert cfg.monitor_mode == "max" and cfg.monitor_metric == "RCB"
+
+    def test_yaml_and_cli_precedence(self, tmp_path):
+        y = tmp_path / "c.yaml"
+        y.write_text("d_model: 256\nbeam_size: 5\nmodel:\n  num_layers: 2\n")
+        cfg = load_config(str(y), argv=["--model.d_model", "128", "--epochs=3"])
+        assert cfg.model.d_model == 128  # CLI wins over YAML
+        assert cfg.decode.beam_size == 5  # flat YAML key routed to section
+        assert cfg.model.num_layers == 2  # nested YAML
+        assert cfg.trainer.epochs == 3
+
+    def test_unknown_cli_key_raises(self):
+        with pytest.raises(ValueError):
+            load_config(argv=["--not_a_key", "1"])
+
+    def test_result_dir_layout(self):
+        cfg = EvokeConfig()
+        cfg.trainer.version = "vX"
+        assert cfg.result_dir == "results/mimic_cxr/finetune/vX"
+
+
+class TestMesh:
+    def test_create_and_shard(self, devices):
+        mesh = create_mesh(MeshSpec(dp=8))
+        assert mesh.shape == {"dp": 8, "mp": 1}
+        batch = {"x": np.ones((16, 4), np.float32), "n": np.float32(3.0)}
+        sb = shard_batch(batch, mesh)
+        assert sb["x"].sharding.spec == jax.sharding.PartitionSpec("dp")
+        np.testing.assert_allclose(np.asarray(sb["x"]), batch["x"])
+
+    def test_psum_over_mesh(self, devices):
+        mesh = create_mesh(MeshSpec(dp=8))
+        x = np.arange(16, dtype=np.float32).reshape(16, 1)
+        sx = shard_batch({"x": x}, mesh)["x"]
+        total = jax.jit(lambda a: jnp.sum(a))(sx)
+        assert float(total) == x.sum()
+
+    def test_2d_mesh(self, devices):
+        mesh = create_mesh(MeshSpec(dp=4, mp=2))
+        assert mesh.shape == {"dp": 4, "mp": 2}
+
+
+class TestPrng:
+    def test_deterministic(self):
+        k1 = prng.fold_name(prng.root_key(9233), "dropout")
+        k2 = prng.fold_name(prng.root_key(9233), "dropout")
+        assert jax.random.uniform(k1) == jax.random.uniform(k2)
+
+    def test_names_decorrelate(self):
+        k = prng.root_key(0)
+        a = jax.random.uniform(prng.fold_name(k, "a"))
+        b = jax.random.uniform(prng.fold_name(k, "b"))
+        assert a != b
+
+    def test_step_key_traceable(self):
+        k = prng.root_key(0)
+        f = jax.jit(lambda step: jax.random.uniform(prng.step_key(k, step)))
+        assert f(0) != f(1)
