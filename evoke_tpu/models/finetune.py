@@ -1,0 +1,135 @@
+"""Stage-2 finetune model: knowledge-guided report generation.
+
+Capability parity: EVOKE ``FineTune``
+(models/model_pretrain_finetune_v0425_ablation.py:23-231): visual encoder ->
+multiview fusion -> finetune projection heads (with trailing affine-free BN) ->
+N x BertCrossLayer co-attention over the encoded clinical indication (or N x
+BertLayer self-attention when no indication) -> R2Gen decoder. The decoder
+consumes only the patch tokens (index 1:) of the fused sequence, exactly as the
+reference's ``_forward`` splits them (encoder_decoder.py:375-383).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from evoke_tpu.losses.lm import lm_loss
+from evoke_tpu.models.fusion import MultiviewFusion
+from evoke_tpu.models.heads import ProjectionHead
+from evoke_tpu.models.layers import BertCrossLayer, BertLayer, make_cross_mask
+from evoke_tpu.models.resnet import VisualExtractor
+from evoke_tpu.models.rm_decoder import RMDecoder
+from evoke_tpu.models.text_encoder import TextEncoder
+
+Dtype = Any
+
+
+class FinetuneModel(nn.Module):
+    vocab_size: int
+    d_vf: int = 2048
+    output_dim: int = 2048
+    encoder_hidden_size: int = 768
+    encoder_num_layers: int = 6
+    encoder_num_heads: int = 12
+    encoder_intermediate_size: int = 3072
+    fusion_num_heads: int = 8
+    fusion_intermediate_size: int = 3072
+    sk_fusion_num_layers: int = 1
+    proj_num_heads: int = 8
+    d_model: int = 512
+    d_ff: int = 512
+    num_heads: int = 8
+    num_layers: int = 3
+    dropout: float = 0.0
+    drop_prob_lm: float = 0.5
+    rm_num_slots: int = 3
+    rm_num_heads: int = 8
+    rm_d_model: int = 512
+    max_seq_len: int = 100
+    is_multiview_learning: bool = True
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.visual_extractor = VisualExtractor(dtype=self.dtype)
+        self.text_encoder = TextEncoder(
+            self.vocab_size, self.encoder_hidden_size, self.encoder_num_layers,
+            self.encoder_num_heads, self.encoder_intermediate_size, dtype=self.dtype)
+        # finetune heads end WITH the affine-free BN (utils_v0511.py:171-209)
+        self.visual_head = ProjectionHead(self.output_dim, self.output_dim,
+                                          final_bn=True, dtype=self.dtype)
+        self.text_head = ProjectionHead(self.output_dim, self.output_dim,
+                                        final_bn=True, dtype=self.dtype)
+        self.fusion = MultiviewFusion(self.d_vf, self.proj_num_heads, dtype=self.dtype)
+        self.multimodal_fusion_layers = [
+            BertCrossLayer(self.output_dim, self.fusion_num_heads,
+                           self.fusion_intermediate_size, dtype=self.dtype,
+                           name=f"fusion_{i}") for i in range(self.sk_fusion_num_layers)]
+        self.visual_self_atten_layers = [
+            BertLayer(self.output_dim, self.fusion_num_heads,
+                      self.fusion_intermediate_size, dtype=self.dtype,
+                      name=f"selfatt_{i}") for i in range(self.sk_fusion_num_layers)]
+        self.text_decoder = RMDecoder(
+            vocab_size=self.vocab_size, d_model=self.d_model, d_ff=self.d_ff,
+            d_vf=self.output_dim, num_layers=self.num_layers, num_heads=self.num_heads,
+            dropout_rate=self.dropout, drop_prob_lm=self.drop_prob_lm,
+            rm_num_slots=self.rm_num_slots, rm_num_heads=self.rm_num_heads,
+            rm_d_model=self.rm_d_model, max_seq_len=self.max_seq_len, dtype=self.dtype)
+
+    # ---- encoding ----
+
+    def encode(self, images, pid_codes, valid, inc_ids: Optional[jnp.ndarray] = None,
+               inc_mask: Optional[jnp.ndarray] = None, train: bool = False) -> jnp.ndarray:
+        """-> encoder_hidden_states [B, 1+P, output_dim]."""
+        patches, avg = self.visual_extractor(images, train=train)
+        image_embed = jnp.concatenate([avg[:, None, :], patches], axis=1)
+        if self.is_multiview_learning:
+            fused, _ = self.fusion(image_embed, pid_codes, valid, deterministic=not train)
+        else:
+            fused = self.fusion.norm_only(image_embed)
+        x = self.visual_head(fused, train=train)
+
+        if inc_ids is not None:
+            inc_feats = self.text_encoder(inc_ids, inc_mask, deterministic=not train)
+            inc_feats = self.text_head(inc_feats, train=train)
+            cross_mask = make_cross_mask(inc_mask)
+            for layer in self.multimodal_fusion_layers:
+                x = layer(x, inc_feats, self_mask=None, cross_mask=cross_mask,
+                          deterministic=not train)
+        else:
+            for layer in self.visual_self_atten_layers:
+                x = layer(x, mask=None, deterministic=not train)
+        return x
+
+    # ---- training forward ----
+
+    def __call__(self, images, report_ids, report_mask, pid_codes, valid,
+                 inc_ids: Optional[jnp.ndarray] = None, inc_mask: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        hidden = self.encode(images, pid_codes, valid, inc_ids, inc_mask, train=train)
+        att_feats = hidden[:, 1:, :]
+        att_mask = jnp.ones(att_feats.shape[:2], dtype=jnp.int32)
+        log_probs = self.text_decoder(att_feats, att_mask, report_ids, report_mask,
+                                      deterministic=not train)
+        lm = lm_loss(log_probs, report_ids, report_mask, sample_mask=valid)
+        return {"lm": lm, "all_loss": lm}
+
+    # ---- generation support (used by decode/beam.py) ----
+
+    def encode_for_decode(self, images, pid_codes, valid,
+                          inc_ids: Optional[jnp.ndarray] = None,
+                          inc_mask: Optional[jnp.ndarray] = None):
+        """-> (enc [B, P, d_model], att_mask [B, P]) ready for decode steps."""
+        hidden = self.encode(images, pid_codes, valid, inc_ids, inc_mask, train=False)
+        att_feats = hidden[:, 1:, :]
+        att_mask = jnp.ones(att_feats.shape[:2], dtype=jnp.int32)
+        enc = self.text_decoder.encode(att_feats, att_mask, deterministic=True)
+        return enc, att_mask
+
+    def init_decode_state(self, enc, batch: int, max_len: Optional[int] = None):
+        return self.text_decoder.init_decode_state(enc, batch, max_len)
+
+    def decode_step(self, tok, pos, state, att_mask):
+        return self.text_decoder.decode_step(tok, pos, state, att_mask)

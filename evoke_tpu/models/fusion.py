@@ -1,0 +1,134 @@
+"""Multiview fusion: one masked cross-attention over the whole batch.
+
+Capability parity: EVOKE's ``multiview_fusion``
+(models/model_pretrain_finetune_v0425_ablation.py:133-157 / :296-322): for each
+sample i, cross-attend its 1+N image tokens (query) over the concatenated tokens
+of all other samples j from the same study (key/value, gradient-stopped), then
+residual + LayerNorm; samples with no same-study partner pass through unchanged
+(after the first LayerNorm only).
+
+The reference loops over the batch in Python per sample — a GPU-hostile and
+TPU-impossible pattern. Here it is ONE batched attention: queries [B, T, D]
+attend over the flattened batch token axis [B*T, D] under a same-study mask
+[B, 1, 1, B*T]. Under a dp-sharded jit, XLA all-gathers the key/value tokens
+across shards so cross-shard same-study pairs fuse exactly as on one device.
+
+Deviation (documented): the reference's ScaledDotProductAttention
+(modules/utils_v0511.py:210-281) uses per-head dim == d_model (h*d_k = 8*2048),
+a 134M-parameter attention. We default to standard per-head dim d_model/h;
+set wide_qkv=True for the reference's dimensioning.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from evoke_tpu.models.layers import TorchLayerNorm, dot_attention
+
+Dtype = Any
+
+
+def same_study_matrix(pid_codes: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """[B] int codes, [B] bool -> [B, B] bool: same study, both valid, i != j."""
+    eq = pid_codes[:, None] == pid_codes[None, :]
+    v = valid[:, None] & valid[None, :]
+    eye = jnp.eye(pid_codes.shape[0], dtype=bool)
+    return eq & v & ~eye
+
+
+class BatchedCrossViewAttention(nn.Module):
+    """MHA where sample i's tokens attend over all tokens of its same-study partners."""
+
+    d_model: int
+    num_heads: int = 8
+    dropout_rate: float = 0.1
+    wide_qkv: bool = False
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        d, h = self.d_model, self.num_heads
+        dk = d if self.wide_qkv else d // h
+        self._dk = dk
+        self.fc_q = nn.Dense(h * dk, dtype=self.dtype)
+        self.fc_k = nn.Dense(h * dk, dtype=self.dtype)
+        self.fc_v = nn.Dense(h * dk, dtype=self.dtype)
+        self.fc_o = nn.Dense(d, dtype=self.dtype)
+        self.attn_drop = nn.Dropout(self.dropout_rate)
+
+    def apply_plain(self, q_in, kv_in):
+        """Unmasked attention of q_in [B, Tq, D] over kv_in [B, Tk, D] (test oracle /
+        per-sample semantics of the reference's ScaledDotProductAttention)."""
+        b, tq, d = q_in.shape
+        h, dk = self.num_heads, self._dk
+        q = self.fc_q(q_in).reshape(b, tq, h, dk).transpose(0, 2, 1, 3)
+        k = self.fc_k(kv_in).reshape(b, kv_in.shape[1], h, dk).transpose(0, 2, 1, 3)
+        v = self.fc_v(kv_in).reshape(b, kv_in.shape[1], h, dk).transpose(0, 2, 1, 3)
+        out, _ = dot_attention(q, k, v)
+        return self.fc_o(out.transpose(0, 2, 1, 3).reshape(b, tq, h * dk))
+
+    def __call__(self, x, study_mask, deterministic=True):
+        """x: [B, T, D]; study_mask: [B, B] bool (True = j is a partner view of i)."""
+        b, t, d = x.shape
+        h, dk = self.num_heads, self._dk
+
+        kv = jax.lax.stop_gradient(x)  # reference detaches k/v
+        q = self.fc_q(x)
+        k = self.fc_k(kv)
+        v = self.fc_v(kv)
+
+        q = q.reshape(b, t, h, dk).transpose(0, 2, 1, 3)              # [B, h, T, dk]
+        k = k.reshape(b * t, h, dk).transpose(1, 0, 2)[None]           # [1, h, B*T, dk]
+        v = v.reshape(b * t, h, dk).transpose(1, 0, 2)[None]           # [1, h, B*T, dk]
+
+        # attend mask: token q of sample i may see token of sample j iff study_mask[i, j].
+        # Rows with no partner attend to their own tokens (a dummy, NaN-safe path);
+        # their output is discarded by the caller's `where`.
+        has_partner = study_mask.any(-1)                               # [B]
+        self_mask = jnp.eye(b, dtype=bool) & ~has_partner[:, None]
+        attend = study_mask | self_mask                                # [B, B]
+        attend = jnp.repeat(attend, t, axis=1)[:, None, None, :]       # [B, 1, 1, B*T]
+
+        dropout_fn = None if deterministic or self.dropout_rate == 0.0 else (
+            lambda p: self.attn_drop(p, deterministic=False))
+        out, _ = dot_attention(q, k, v, mask=attend, dropout_fn=dropout_fn)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, h * dk)
+        return self.fc_o(out)
+
+
+class MultiviewFusion(nn.Module):
+    """LN1 -> masked cross-view attention -> residual + LN2 (pass-through when no partner)."""
+
+    d_model: int
+    num_heads: int = 8
+    dropout_rate: float = 0.1
+    wide_qkv: bool = False
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.layer_norm_1 = TorchLayerNorm(dtype=self.dtype)
+        self.layer_norm_2 = TorchLayerNorm(dtype=self.dtype)
+        self.cross = BatchedCrossViewAttention(self.d_model, self.num_heads,
+                                               self.dropout_rate, self.wide_qkv,
+                                               dtype=self.dtype)
+
+    def __call__(self, image_embed, pid_codes, valid, deterministic=True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """image_embed: [B, T, D] ([global; patches]); pid_codes/valid: [B].
+
+        Returns (fused [B, T, D], has_partner [B]).
+        """
+        study_mask = same_study_matrix(pid_codes, valid)
+        has_partner = study_mask.any(-1)
+        x = self.layer_norm_1(image_embed)
+        att = self.cross(x, study_mask, deterministic=deterministic)
+        fused = self.layer_norm_2(att + x)
+        out = jnp.where(has_partner[:, None, None], fused, x)
+        return out, has_partner
+
+    def norm_only(self, image_embed):
+        """The is_multiview_learning=False path: just LN1 (reference :169-172)."""
+        return self.layer_norm_1(image_embed)

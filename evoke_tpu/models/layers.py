@@ -1,0 +1,288 @@
+"""Shared transformer building blocks (Flax linen, TPU-first).
+
+Behavioral contracts follow the reference's ops (EVOKE modules/encoder_decoder.py,
+models/language_encoder/bert_model.py) but are implemented as batched, static-shape
+JAX modules. Notable contract details preserved:
+
+- ``TorchLayerNorm``: the reference's custom LayerNorm normalizes by the *unbiased*
+  std and adds eps to the std, not the variance (encoder_decoder.py:93-103).
+- Attention masking uses a large negative fill before softmax (``attention``,
+  encoder_decoder.py:20-28).
+- ``Embeddings`` scale by sqrt(d_model); sinusoidal positional encoding
+  (encoder_decoder.py:219-243).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+NEG_INF = -1e9
+
+xavier = nn.initializers.xavier_uniform()
+
+
+class TorchLayerNorm(nn.Module):
+    """gamma * (x - mean) / (std_unbiased + eps) + beta  (reference LayerNorm)."""
+
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones, (d,))
+        beta = self.param("beta", nn.initializers.zeros, (d,))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.sum((xf - mean) ** 2, axis=-1, keepdims=True) / max(d - 1, 1)
+        y = (xf - mean) / (jnp.sqrt(var) + self.eps)
+        return (gamma * y + beta).astype(self.dtype)
+
+
+def dot_attention(q, k, v, mask=None, dropout_fn: Optional[Callable] = None):
+    """Scaled dot-product attention.
+
+    q: [B, h, Tq, dk], k: [B, h, Tk, dk], v: [B, h, Tk, dv]
+    mask: broadcastable to [B, h, Tq, Tk]; True/1 = attend.
+    """
+    dk = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(dk)
+    if mask is not None:
+        scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_fn is not None:
+        probs = dropout_fn(probs)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+    return out, probs
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard MHA with separate q/k/v/o projections.
+
+    ``project_kv`` is exposed for KV-cached decoding: keys/values are cached
+    *after* projection, so an incremental step only projects the new token.
+    """
+
+    num_heads: int
+    d_model: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        assert self.d_model % self.num_heads == 0
+        self.wq = nn.Dense(self.d_model, kernel_init=xavier, dtype=self.dtype)
+        self.wk = nn.Dense(self.d_model, kernel_init=xavier, dtype=self.dtype)
+        self.wv = nn.Dense(self.d_model, kernel_init=xavier, dtype=self.dtype)
+        self.wo = nn.Dense(self.d_model, kernel_init=xavier, dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def _split(self, x):
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.num_heads, -1).transpose(0, 2, 1, 3)
+
+    def _merge(self, x):
+        b, h, t, d = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+    def project_kv(self, x):
+        """x: [B, T, D] -> (k, v) each [B, T, D] (pre head-split, post projection)."""
+        return self.wk(x), self.wv(x)
+
+    def attend(self, q_in, k_proj, v_proj, mask=None, deterministic=True):
+        """Attention with already-projected k/v ([B, Tk, D])."""
+        q = self._split(self.wq(q_in))
+        k = self._split(k_proj)
+        v = self._split(v_proj)
+        drop = None if deterministic or self.dropout_rate == 0.0 else (
+            lambda p: self.drop(p, deterministic=False))
+        out, _ = dot_attention(q, k, v, mask=mask, dropout_fn=drop)
+        return self.wo(self._merge(out))
+
+    def __call__(self, q_in, k_in, v_in, mask=None, deterministic=True):
+        k, v = self.wk(k_in), self.wv(v_in)
+        return self.attend(q_in, k, v, mask=mask, deterministic=deterministic)
+
+
+class PositionwiseFFN(nn.Module):
+    d_model: int
+    d_ff: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    activation: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        h = nn.Dense(self.d_ff, kernel_init=xavier, dtype=self.dtype)(x)
+        h = self.activation(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.Dense(self.d_model, kernel_init=xavier, dtype=self.dtype)(h)
+
+
+def sinusoidal_pe(max_len: int, d_model: int) -> np.ndarray:
+    """[max_len, d_model] sine/cosine table (encoder_decoder.py:228-236)."""
+    pe = np.zeros((max_len, d_model), dtype=np.float32)
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float32) * -(math.log(10000.0) / d_model))
+    pe[:, 0::2] = np.sin(position * div)
+    pe[:, 1::2] = np.cos(position * div)
+    return pe
+
+
+class TokenEmbed(nn.Module):
+    """Embedding * sqrt(d_model) + sinusoidal PE (+ dropout)."""
+
+    vocab_size: int
+    d_model: int
+    max_len: int = 5000
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.lut = nn.Embed(self.vocab_size, self.d_model, embedding_init=xavier,
+                            dtype=self.dtype)
+        self.pe = jnp.asarray(sinusoidal_pe(self.max_len, self.d_model))
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, ids, deterministic=True):
+        """ids: [B, T] -> [B, T, D] with PE for positions 0..T-1."""
+        x = self.lut(ids) * math.sqrt(self.d_model)
+        x = x + self.pe[None, : ids.shape[1]]
+        return self.drop(x, deterministic=deterministic)
+
+    def at_position(self, ids, pos, deterministic=True):
+        """ids: [B] (one token per row), pos: scalar position -> [B, 1, D]."""
+        x = self.lut(ids)[:, None, :] * math.sqrt(self.d_model)
+        pe = jax.lax.dynamic_slice_in_dim(self.pe, pos, 1, axis=0)
+        x = x + pe[None]
+        return self.drop(x, deterministic=deterministic)
+
+
+def causal_mask(t: int) -> jnp.ndarray:
+    """[1, 1, t, t] lower-triangular boolean mask."""
+    return jnp.tril(jnp.ones((t, t), dtype=bool))[None, None]
+
+
+def make_self_mask(pad_mask: jnp.ndarray, causal: bool = False) -> jnp.ndarray:
+    """pad_mask: [B, T] (1=token) -> [B, 1, T, T] attention mask."""
+    m = pad_mask[:, None, None, :].astype(bool)
+    if causal:
+        m = m & causal_mask(pad_mask.shape[-1])
+    return m
+
+
+def make_cross_mask(kv_pad_mask: jnp.ndarray) -> jnp.ndarray:
+    """kv_pad_mask: [B, Tk] -> [B, 1, 1, Tk]."""
+    return kv_pad_mask[:, None, None, :].astype(bool)
+
+
+class BertSelfOutput(nn.Module):
+    """Dense + dropout + post-LN residual (HF Bert*Output contract)."""
+
+    hidden_size: int
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, residual, deterministic=True):
+        h = nn.Dense(self.hidden_size, dtype=self.dtype)(hidden)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype)(h + residual)
+
+
+class BertAttentionBlock(nn.Module):
+    """HF BertAttention: MHA (no output proj inside) + BertSelfOutput."""
+
+    hidden_size: int
+    num_heads: int
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        d = self.hidden_size
+        self.wq = nn.Dense(d, dtype=self.dtype)
+        self.wk = nn.Dense(d, dtype=self.dtype)
+        self.wv = nn.Dense(d, dtype=self.dtype)
+        self.out = BertSelfOutput(d, self.dropout_rate, dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, x, kv, mask=None, deterministic=True):
+        b, tq, _ = x.shape
+        h = self.num_heads
+        q = self.wq(x).reshape(b, tq, h, -1).transpose(0, 2, 1, 3)
+        k = self.wk(kv).reshape(b, kv.shape[1], h, -1).transpose(0, 2, 1, 3)
+        v = self.wv(kv).reshape(b, kv.shape[1], h, -1).transpose(0, 2, 1, 3)
+        dropout_fn = None if deterministic or self.dropout_rate == 0.0 else (
+            lambda p: self.drop(p, deterministic=False))
+        ctx, _ = dot_attention(q, k, v, mask=mask, dropout_fn=dropout_fn)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, tq, -1)
+        return self.out(ctx, x, deterministic=deterministic)
+
+
+class BertFFNBlock(nn.Module):
+    """HF BertIntermediate + BertOutput (gelu, post-LN residual)."""
+
+    hidden_size: int
+    intermediate_size: int
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        h = nn.Dense(self.intermediate_size, dtype=self.dtype)(x)
+        h = nn.gelu(h, approximate=False)
+        return BertSelfOutput(self.hidden_size, self.dropout_rate, dtype=self.dtype)(
+            h, x, deterministic=deterministic)
+
+
+class BertLayer(nn.Module):
+    """Self-attention transformer layer (reference BertLayer, bert_model.py:548)."""
+
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.attention = BertAttentionBlock(self.hidden_size, self.num_heads,
+                                            self.dropout_rate, dtype=self.dtype)
+        self.ffn = BertFFNBlock(self.hidden_size, self.intermediate_size,
+                                self.dropout_rate, dtype=self.dtype)
+
+    def __call__(self, x, mask=None, deterministic=True):
+        x = self.attention(x, x, mask=mask, deterministic=deterministic)
+        return self.ffn(x, deterministic=deterministic)
+
+
+class BertCrossLayer(nn.Module):
+    """Self-attn -> cross-attn -> FFN (reference BertCrossLayer, bert_model.py:444).
+
+    Used to co-attend image tokens over the encoded indication text.
+    """
+
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.attention = BertAttentionBlock(self.hidden_size, self.num_heads,
+                                            self.dropout_rate, dtype=self.dtype)
+        self.crossattention = BertAttentionBlock(self.hidden_size, self.num_heads,
+                                                 self.dropout_rate, dtype=self.dtype)
+        self.ffn = BertFFNBlock(self.hidden_size, self.intermediate_size,
+                                self.dropout_rate, dtype=self.dtype)
+
+    def __call__(self, x, enc, self_mask=None, cross_mask=None, deterministic=True):
+        x = self.attention(x, x, mask=self_mask, deterministic=deterministic)
+        x = self.crossattention(x, enc, mask=cross_mask, deterministic=deterministic)
+        return self.ffn(x, deterministic=deterministic)

@@ -1,0 +1,294 @@
+"""R2Gen-style report decoder: relational memory + conditional LayerNorm.
+
+Capability parity: EVOKE modules/encoder_decoder.py — a 3-layer pre-LN
+transformer encoder over image tokens and a 3-layer decoder whose sublayer
+LayerNorms are *conditioned* on a RelationalMemory rolled over the target
+embeddings (rm_num_slots=3). Two idiomatic-TPU departures from the reference:
+
+1. The memory roll is a ``lax.scan`` (nn.scan) instead of a Python loop
+   (encoder_decoder.py:293-300).
+2. Incremental decoding keeps per-layer projected K/V caches and carries the
+   relational memory as loop state; the reference re-decodes the full prefix
+   every generation step with no KV cache (encoder_decoder.py:396-404). Because
+   the architecture is causal (memory at position t depends only on tokens
+   <= t, and each position's CLN uses its own memory), cached decoding is
+   mathematically exact.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from evoke_tpu.models.layers import (MultiHeadAttention, PositionwiseFFN, TokenEmbed,
+                                     TorchLayerNorm, make_cross_mask, make_self_mask, xavier)
+
+Dtype = Any
+
+
+class RelationalMemory(nn.Module):
+    """Gated slot memory rolled over target embeddings (encoder_decoder.py:246-300)."""
+
+    num_slots: int
+    d_model: int
+    num_heads: int = 8
+    attn_dropout: float = 0.1  # the reference's MHA default applies inside RM
+
+    def setup(self):
+        self.attn = MultiHeadAttention(self.num_heads, self.d_model, self.attn_dropout)
+        self.mlp1 = nn.Dense(self.d_model, kernel_init=xavier)
+        self.mlp2 = nn.Dense(self.d_model, kernel_init=xavier)
+        self.W = nn.Dense(self.d_model * 2, kernel_init=xavier)
+        self.U = nn.Dense(self.d_model * 2, kernel_init=xavier)
+
+    def init_memory(self, batch_size: int) -> jnp.ndarray:
+        """[B, S*D]: identity over slots, zero-padded to d_model."""
+        s, d = self.num_slots, self.d_model
+        eye = jnp.eye(s)
+        if d > s:
+            mem = jnp.concatenate([eye, jnp.zeros((s, d - s))], axis=-1)
+        else:
+            mem = eye[:, :d]
+        return jnp.tile(mem.reshape(1, s * d), (batch_size, 1))
+
+    def step(self, x_t: jnp.ndarray, memory: jnp.ndarray, deterministic=True) -> jnp.ndarray:
+        """x_t: [B, D] (one target embedding), memory: [B, S*D] -> next [B, S*D]."""
+        b = x_t.shape[0]
+        s, d = self.num_slots, self.d_model
+        mem = memory.reshape(b, s, d)
+        kv = jnp.concatenate([mem, x_t[:, None, :]], axis=1)
+        nxt = mem + self.attn(mem, kv, kv, deterministic=deterministic)
+        nxt = nxt + nn.relu(self.mlp2(nn.relu(self.mlp1(nxt))))
+        gates = self.W(x_t[:, None, :]) + self.U(jnp.tanh(mem))
+        input_gate, forget_gate = jnp.split(gates, 2, axis=-1)
+        nxt = jax.nn.sigmoid(input_gate) * jnp.tanh(nxt) + jax.nn.sigmoid(forget_gate) * mem
+        return nxt.reshape(b, s * d)
+
+    def roll(self, xs: jnp.ndarray, deterministic=True) -> jnp.ndarray:
+        """xs: [B, T, D] -> memories after each step: [B, T, S*D]."""
+        init = self.init_memory(xs.shape[0])
+
+        def body(cell, carry, x):
+            new = cell.step(x, carry, deterministic)
+            return new, new
+
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": not deterministic},
+                       in_axes=1, out_axes=1)
+        _, outs = scan(self, init, xs)
+        return outs
+
+
+class ConditionalLayerNorm(nn.Module):
+    """LN whose scale/shift are offset by MLPs of the memory (encoder_decoder.py:144-178)."""
+
+    d_model: int
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory):
+        """x: [B, T, D], memory: [B, T, S*Drm] (broadcastable on T)."""
+        d = self.d_model
+        bias_01 = nn.initializers.constant(0.1)
+        gamma = self.param("gamma", nn.initializers.ones, (d,))
+        beta = self.param("beta", nn.initializers.zeros, (d,))
+        dg = nn.Dense(d, kernel_init=xavier, bias_init=bias_01, name="mlp_gamma_0")(memory)
+        dg = nn.Dense(d, kernel_init=xavier, bias_init=bias_01, name="mlp_gamma_1")(nn.relu(dg))
+        db = nn.Dense(d, kernel_init=xavier, bias_init=bias_01, name="mlp_beta_0")(memory)
+        db = nn.Dense(d, kernel_init=xavier, bias_init=bias_01, name="mlp_beta_1")(nn.relu(db))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.sum((xf - mean) ** 2, axis=-1, keepdims=True) / max(d - 1, 1)
+        y = (xf - mean) / (jnp.sqrt(var) + self.eps)
+        return ((gamma + dg) * y + (beta + db)).astype(x.dtype)
+
+
+class EncoderLayer(nn.Module):
+    """Pre-LN self-attention + FFN (encoder_decoder.py:70-90)."""
+
+    d_model: int
+    d_ff: int
+    num_heads: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.self_attn = MultiHeadAttention(self.num_heads, self.d_model,
+                                            self.dropout_rate, dtype=self.dtype)
+        self.ff = PositionwiseFFN(self.d_model, self.d_ff, self.dropout_rate, dtype=self.dtype)
+        self.norm1 = TorchLayerNorm(dtype=self.dtype)
+        self.norm2 = TorchLayerNorm(dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, x, mask=None, deterministic=True):
+        h = self.norm1(x)
+        x = x + self.drop(self.self_attn(h, h, h, mask=mask, deterministic=deterministic),
+                          deterministic=deterministic)
+        h = self.norm2(x)
+        return x + self.drop(self.ff(h, deterministic=deterministic), deterministic=deterministic)
+
+
+class RMDecoderLayer(nn.Module):
+    """Decoder layer with conditional-LN sublayers (encoder_decoder.py:118-141)."""
+
+    d_model: int
+    d_ff: int
+    num_heads: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.self_attn = MultiHeadAttention(self.num_heads, self.d_model,
+                                            self.dropout_rate, dtype=self.dtype)
+        self.src_attn = MultiHeadAttention(self.num_heads, self.d_model,
+                                           self.dropout_rate, dtype=self.dtype)
+        self.ff = PositionwiseFFN(self.d_model, self.d_ff, self.dropout_rate, dtype=self.dtype)
+        self.cln1 = ConditionalLayerNorm(self.d_model, dtype=self.dtype)
+        self.cln2 = ConditionalLayerNorm(self.d_model, dtype=self.dtype)
+        self.cln3 = ConditionalLayerNorm(self.d_model, dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, x, enc, self_mask, cross_mask, memory, deterministic=True):
+        h = self.cln1(x, memory)
+        x = x + self.drop(self.self_attn(h, h, h, mask=self_mask, deterministic=deterministic),
+                          deterministic=deterministic)
+        h = self.cln2(x, memory)
+        x = x + self.drop(self.src_attn(h, enc, enc, mask=cross_mask, deterministic=deterministic),
+                          deterministic=deterministic)
+        h = self.cln3(x, memory)
+        return x + self.drop(self.ff(h, deterministic=deterministic), deterministic=deterministic)
+
+    def prepare_cross_kv(self, enc):
+        return self.src_attn.project_kv(enc)
+
+    def step(self, x, cross_k, cross_v, cross_mask, memory, cache_k, cache_v, pos):
+        """One-token decode step with projected-KV caching (exact vs full re-decode).
+
+        x: [B, 1, D]; memory: [B, 1, S*Drm]; cache_k/v: [B, Lmax, D]; pos: scalar.
+        """
+        h = self.cln1(x, memory)
+        k_new, v_new = self.self_attn.project_kv(h)
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype), (0, pos, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype), (0, pos, 0))
+        lmax = cache_k.shape[1]
+        self_mask = (jnp.arange(lmax) <= pos)[None, None, None, :]
+        x = x + self.self_attn.attend(h, cache_k, cache_v, mask=self_mask)
+        h = self.cln2(x, memory)
+        x = x + self.src_attn.attend(h, cross_k, cross_v, mask=cross_mask)
+        h = self.cln3(x, memory)
+        x = x + self.ff(h)
+        return x, cache_k, cache_v
+
+
+class RMDecoder(nn.Module):
+    """Full encoder-decoder: image tokens -> report logits / decode steps.
+
+    Equivalent surface to EVOKE's ``EncoderDecoder`` (encoder_decoder.py:303-404):
+    ``__call__`` = training forward returning log-probs [B, T, V+1];
+    ``encode`` + ``init_decode_state`` + ``decode_step`` = KV-cached generation.
+    """
+
+    vocab_size: int                 # tokenizer vocab size; logits dim = vocab_size + 1
+    d_model: int = 512
+    d_ff: int = 512
+    d_vf: int = 2048
+    num_layers: int = 3
+    num_heads: int = 8
+    dropout_rate: float = 0.0
+    drop_prob_lm: float = 0.5
+    rm_num_slots: int = 3
+    rm_num_heads: int = 8
+    rm_d_model: int = 512
+    max_seq_len: int = 100
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.att_embed = nn.Dense(self.d_model, dtype=self.dtype, name="att_embed")
+        self.att_drop = nn.Dropout(self.drop_prob_lm)
+        self.enc_layers = [
+            EncoderLayer(self.d_model, self.d_ff, self.num_heads, self.dropout_rate,
+                         dtype=self.dtype, name=f"enc_{i}") for i in range(self.num_layers)]
+        self.enc_norm = TorchLayerNorm(dtype=self.dtype)
+        self.dec_layers = [
+            RMDecoderLayer(self.d_model, self.d_ff, self.num_heads, self.dropout_rate,
+                           dtype=self.dtype, name=f"dec_{i}") for i in range(self.num_layers)]
+        self.dec_norm = TorchLayerNorm(dtype=self.dtype)
+        self.tgt_embed = TokenEmbed(self.vocab_size + 1, self.d_model,
+                                    dropout_rate=self.dropout_rate, dtype=self.dtype)
+        self.rm = RelationalMemory(self.rm_num_slots, self.rm_d_model, self.rm_num_heads)
+        self.logit = nn.Dense(self.vocab_size + 1, dtype=self.dtype, name="logit")
+
+    # ---- shared ----
+
+    def encode(self, att_feats, att_mask, deterministic=True):
+        """att_feats: [B, L, d_vf], att_mask: [B, L] -> [B, L, d_model]."""
+        x = self.att_embed(att_feats * att_mask[..., None])
+        x = nn.relu(x)
+        x = self.att_drop(x, deterministic=deterministic)
+        mask = make_cross_mask(att_mask)
+        for layer in self.enc_layers:
+            x = layer(x, mask=mask, deterministic=deterministic)
+        return self.enc_norm(x)
+
+    # ---- training ----
+
+    def __call__(self, att_feats, att_mask, tgt_ids, tgt_mask, deterministic=True):
+        """Training forward -> log-probs [B, T, V+1]."""
+        enc = self.encode(att_feats, att_mask, deterministic=deterministic)
+        return self.decode_train(enc, att_mask, tgt_ids, tgt_mask, deterministic=deterministic)
+
+    def decode_train(self, enc, att_mask, tgt_ids, tgt_mask, deterministic=True):
+        x = self.tgt_embed(tgt_ids, deterministic=deterministic)
+        mem = self.rm.roll(x, deterministic=deterministic)
+        self_mask = make_self_mask(tgt_mask, causal=True)
+        cross_mask = make_cross_mask(att_mask)
+        for layer in self.dec_layers:
+            x = layer(x, enc, self_mask, cross_mask, mem, deterministic=deterministic)
+        x = self.dec_norm(x)
+        logits = self.logit(x)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+    # ---- incremental decoding ----
+
+    def init_decode_state(self, enc, batch: int, max_len: Optional[int] = None
+                          ) -> Dict[str, Any]:
+        """Build the decode carry: relational memory + per-layer KV caches + cross K/V."""
+        lmax = max_len or self.max_seq_len
+        cross = [layer.prepare_cross_kv(enc) for layer in self.dec_layers]
+        return {
+            "memory": self.rm.init_memory(batch),
+            "cache_k": jnp.zeros((self.num_layers, batch, lmax, self.d_model), self.dtype),
+            "cache_v": jnp.zeros((self.num_layers, batch, lmax, self.d_model), self.dtype),
+            "cross_k": jnp.stack([c[0] for c in cross]),
+            "cross_v": jnp.stack([c[1] for c in cross]),
+        }
+
+    def decode_step(self, tok, pos, state, att_mask):
+        """tok: [B] token ids, pos: scalar int, state: from init_decode_state.
+
+        Returns (log-probs [B, V+1], new state).
+        """
+        x = self.tgt_embed.at_position(tok, pos)               # [B, 1, D]
+        mem = self.rm.step(x[:, 0, :], state["memory"])        # [B, S*D]
+        cross_mask = make_cross_mask(att_mask)
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.dec_layers):
+            x, ck, cv = layer.step(x, state["cross_k"][i], state["cross_v"][i], cross_mask,
+                                   mem[:, None, :], state["cache_k"][i], state["cache_v"][i], pos)
+            new_k.append(ck)
+            new_v.append(cv)
+        x = self.dec_norm(x)
+        logits = self.logit(x)[:, 0, :]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        new_state = {
+            "memory": mem,
+            "cache_k": jnp.stack(new_k),
+            "cache_v": jnp.stack(new_v),
+            "cross_k": state["cross_k"],
+            "cross_v": state["cross_v"],
+        }
+        return logp, new_state

@@ -1,0 +1,214 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evoke_tpu.models.fusion import MultiviewFusion, same_study_matrix
+from evoke_tpu.models.heads import ProjectionHead
+from evoke_tpu.models.layers import TorchLayerNorm, MultiHeadAttention, make_self_mask
+from evoke_tpu.models.resnet import VisualExtractor
+from evoke_tpu.models.rm_decoder import RMDecoder, RelationalMemory
+from evoke_tpu.models.text_encoder import TextEncoder
+
+KEY = jax.random.key(0)
+
+
+class TestTorchLayerNorm:
+    def test_matches_torch_semantics(self, rng):
+        # torch: gamma*(x-mean)/(std_unbiased+eps)+beta
+        x = rng.normal(size=(2, 5, 16)).astype(np.float32)
+        ln = TorchLayerNorm()
+        params = ln.init(KEY, jnp.asarray(x))
+        y = ln.apply(params, jnp.asarray(x))
+        mean = x.mean(-1, keepdims=True)
+        std = x.std(-1, ddof=1, keepdims=True)
+        expected = (x - mean) / (std + 1e-6)
+        np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-5, atol=1e-5)
+
+
+class TestMHA:
+    def test_mask_blocks_attention(self, rng):
+        mha = MultiHeadAttention(num_heads=2, d_model=8)
+        x = jnp.asarray(rng.normal(size=(1, 4, 8)), jnp.float32)
+        params = mha.init(KEY, x, x, x)
+        mask_full = make_self_mask(jnp.ones((1, 4), jnp.int32))
+        # key 3 masked out: output must not depend on x[3]
+        pad = jnp.array([[1, 1, 1, 0]], jnp.int32)
+        mask_pad = make_self_mask(pad)
+        y1 = mha.apply(params, x, x, x, mask=mask_pad)
+        x2 = x.at[0, 3].set(99.0)
+        y2 = mha.apply(params, x2, x2, x2, mask=mask_pad)
+        np.testing.assert_allclose(np.asarray(y1[0, :3]), np.asarray(y2[0, :3]), atol=1e-5)
+        assert not np.allclose(np.asarray(mha.apply(params, x, x, x, mask=mask_full)[0, :3]),
+                               np.asarray(y1[0, :3]))
+
+
+class TestVisualExtractor:
+    @pytest.mark.parametrize("size,n_patches", [(64, 4), (96, 9)])
+    def test_patch_grid(self, size, n_patches, rng):
+        # C5 stride is 32: 64 -> 2x2 grid, 96 -> 3x3
+        vx = VisualExtractor()
+        imgs = jnp.asarray(rng.normal(size=(2, size, size, 3)), jnp.float32)
+        variables = vx.init(KEY, imgs)
+        patches, avg = vx.apply(variables, imgs)
+        assert patches.shape == (2, n_patches, 2048)
+        assert avg.shape == (2, 2048)
+        np.testing.assert_allclose(np.asarray(avg), np.asarray(patches.mean(1)), rtol=2e-5, atol=1e-4)
+
+    def test_param_count_resnet101(self):
+        vx = VisualExtractor()
+        variables = vx.init(KEY, jnp.zeros((1, 64, 64, 3)))
+        n = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(variables["params"]))
+        # torchvision resnet101 minus fc: ~42.5M
+        assert 42e6 < n < 43.5e6, n
+
+
+class TestTextEncoder:
+    def test_shapes_and_mask(self, rng):
+        enc = TextEncoder(vocab_size=50, hidden_size=32, num_layers=2, num_heads=4,
+                          intermediate_size=64)
+        ids = jnp.asarray(rng.integers(0, 50, size=(2, 10)), jnp.int32)
+        mask = jnp.asarray([[1] * 10, [1] * 6 + [0] * 4], jnp.int32)
+        variables = enc.init(KEY, ids, mask)
+        out = enc.apply(variables, ids, mask)
+        assert out.shape == (2, 10, 32)
+        # masked positions don't affect real positions
+        ids2 = ids.at[1, 8].set(7)
+        out2 = enc.apply(variables, ids2, mask)
+        np.testing.assert_allclose(np.asarray(out[1, :6]), np.asarray(out2[1, :6]), atol=1e-5)
+
+
+class TestProjectionHead:
+    def test_shapes_and_final_bn(self, rng):
+        x = jnp.asarray(rng.normal(size=(4, 6, 16)), jnp.float32)
+        head = ProjectionHead(hidden_dim=8, output_dim=8, final_bn=True)
+        variables = head.init(KEY, x, train=False)
+        y, mut = head.apply(variables, x, train=True, mutable=["batch_stats"])
+        assert y.shape == (4, 6, 8)
+        # affine-free final BN: output is standardized over (batch, token)
+        flat = np.asarray(y).reshape(-1, 8)
+        np.testing.assert_allclose(flat.mean(0), 0.0, atol=1e-4)
+        np.testing.assert_allclose(flat.std(0), 1.0, atol=1e-2)
+
+    def test_global_embed_2d(self, rng):
+        x = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+        head = ProjectionHead(hidden_dim=8, output_dim=8)
+        variables = head.init(KEY, x, train=False)
+        y = head.apply(variables, x, train=False)
+        assert y.shape == (4, 8)
+
+
+class TestMultiviewFusion:
+    def _reference_loop(self, fusion, variables, x, pids, valid):
+        """Per-sample Python loop mirroring EVOKE's multiview_fusion for the test oracle."""
+        b = x.shape[0]
+        m = np.asarray(same_study_matrix(jnp.asarray(pids), jnp.asarray(valid)))
+        ln1 = lambda a: fusion.apply(variables, a, method=lambda mod, a: mod.layer_norm_1(a))
+        ln2 = lambda a: fusion.apply(variables, a, method=lambda mod, a: mod.layer_norm_2(a))
+        xn = np.asarray(ln1(jnp.asarray(x)))
+        outs = []
+        for i in range(b):
+            if m[i].sum() == 0:
+                outs.append(xn[i])
+                continue
+            kv = np.concatenate([xn[j] for j in range(b) if m[i, j]], axis=0)
+            att = fusion.apply(
+                variables,
+                jnp.asarray(xn[i])[None], jnp.asarray(kv)[None],
+                method=lambda mod, q, kv: mod.cross.apply_plain(q, kv))
+            out = np.asarray(ln2(jnp.asarray(att[0]) + jnp.asarray(xn[i])[None]))[0]
+            outs.append(out)
+        return np.stack(outs)
+
+    def test_matches_per_sample_loop(self, rng):
+        b, t, d = 5, 3, 16
+        x = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
+        pids = jnp.asarray([0, 0, 1, 2, 2], jnp.int32)
+        valid = jnp.asarray([True, True, True, True, True])
+        fusion = MultiviewFusion(d_model=d, num_heads=4)
+        variables = fusion.init(KEY, x, pids, valid)
+        fused, has = fusion.apply(variables, x, pids, valid)
+        assert fused.shape == (b, t, d)
+        np.testing.assert_array_equal(np.asarray(has), [True, True, False, True, True])
+        ref = self._reference_loop(fusion, variables, np.asarray(x), np.asarray(pids),
+                                   np.asarray(valid))
+        np.testing.assert_allclose(np.asarray(fused), ref, rtol=1e-4, atol=1e-4)
+
+    def test_invalid_rows_passthrough(self, rng):
+        b, t, d = 4, 2, 8
+        x = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
+        pids = jnp.asarray([0, 0, 0, 0], jnp.int32)
+        valid = jnp.asarray([True, True, False, False])
+        fusion = MultiviewFusion(d_model=d, num_heads=2)
+        variables = fusion.init(KEY, x, pids, valid)
+        fused, has = fusion.apply(variables, x, pids, valid)
+        np.testing.assert_array_equal(np.asarray(has), [True, True, False, False])
+
+    def test_no_nan_gradients_when_no_partner(self, rng):
+        b, t, d = 3, 2, 8
+        x = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
+        pids = jnp.asarray([0, 1, 2], jnp.int32)  # nobody has a partner
+        valid = jnp.ones(b, bool)
+        fusion = MultiviewFusion(d_model=d, num_heads=2)
+        variables = fusion.init(KEY, x, pids, valid)
+
+        def loss_fn(v, xx):
+            out, _ = fusion.apply(v, xx, pids, valid)
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss_fn, argnums=1)(variables, x)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestRelationalMemory:
+    def test_roll_equals_steps(self, rng):
+        rm = RelationalMemory(num_slots=3, d_model=16, num_heads=2)
+        xs = jnp.asarray(rng.normal(size=(2, 5, 16)), jnp.float32)
+        variables = rm.init(KEY, xs, method=rm.roll)
+        rolled = rm.apply(variables, xs, method=rm.roll)
+        assert rolled.shape == (2, 5, 48)
+        mem = rm.apply(variables, 2, method=rm.init_memory)
+        for t in range(5):
+            mem = rm.apply(variables, xs[:, t], mem, method=rm.step)
+            np.testing.assert_allclose(np.asarray(rolled[:, t]), np.asarray(mem),
+                                       rtol=1e-5, atol=1e-5)
+
+
+class TestRMDecoder:
+    def _make(self, rng, vocab=30, b=2, t=7, p=4):
+        dec = RMDecoder(vocab_size=vocab, d_model=16, d_ff=32, d_vf=24, num_layers=2,
+                        num_heads=2, rm_num_slots=3, rm_d_model=16, max_seq_len=t,
+                        drop_prob_lm=0.0)
+        att = jnp.asarray(rng.normal(size=(b, p, 24)), jnp.float32)
+        att_mask = jnp.ones((b, p), jnp.int32)
+        ids = jnp.asarray(rng.integers(1, vocab, size=(b, t)), jnp.int32)
+        tgt_mask = jnp.ones((b, t), jnp.int32)
+        variables = dec.init(KEY, att, att_mask, ids, tgt_mask)
+        return dec, variables, att, att_mask, ids, tgt_mask
+
+    def test_train_forward_shape(self, rng):
+        dec, variables, att, att_mask, ids, tgt_mask = self._make(rng)
+        logp = dec.apply(variables, att, att_mask, ids, tgt_mask)
+        assert logp.shape == (2, 7, 31)  # vocab + 1
+        np.testing.assert_allclose(np.asarray(jnp.exp(logp).sum(-1)), 1.0, rtol=1e-4)
+
+    def test_causality(self, rng):
+        dec, variables, att, att_mask, ids, tgt_mask = self._make(rng)
+        logp1 = dec.apply(variables, att, att_mask, ids, tgt_mask)
+        ids2 = ids.at[:, 5].set((ids[:, 5] + 1) % 30)
+        logp2 = dec.apply(variables, att, att_mask, ids2, tgt_mask)
+        np.testing.assert_allclose(np.asarray(logp1[:, :5]), np.asarray(logp2[:, :5]),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_kv_cached_decode_matches_full_forward(self, rng):
+        """The KV-cached incremental step must be EXACTLY the re-decode-the-prefix math."""
+        dec, variables, att, att_mask, ids, tgt_mask = self._make(rng)
+        full = dec.apply(variables, att, att_mask, ids, tgt_mask)  # [B, T, V+1]
+
+        enc = dec.apply(variables, att, att_mask, method=dec.encode)
+        state = dec.apply(variables, enc, 2, method=dec.init_decode_state)
+        for t in range(ids.shape[1]):
+            logp, state = dec.apply(variables, ids[:, t], t, state, att_mask,
+                                    method=dec.decode_step)
+            np.testing.assert_allclose(np.asarray(logp), np.asarray(full[:, t]),
+                                       rtol=1e-4, atol=1e-5)
