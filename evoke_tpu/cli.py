@@ -1,0 +1,280 @@
+"""Command-line entry point: ``python -m evoke_tpu.cli <task> [--key value ...]``.
+
+Capability parity: EVOKE's main_224.py / main_384.py + run scripts surface —
+tasks pretrain | finetune | test | retrieve | score, argparse-over-YAML config,
+result-dir layout results/{data}/{task}/{version}, same CSV/log artifacts.
+Resolution (224 vs 384) is a config knob (model.image_size), not a separate
+entry point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def build_model(cfg, vocab_size: int, task: str):
+    import jax.numpy as jnp
+
+    from evoke_tpu.models.finetune import FinetuneModel
+    from evoke_tpu.models.pretrain import PretrainModel
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.model.dtype]
+    common = dict(
+        vocab_size=vocab_size, d_vf=cfg.model.d_vf, output_dim=cfg.model.output_dim,
+        encoder_hidden_size=cfg.model.encoder_hidden_size,
+        encoder_num_layers=cfg.model.encoder_num_hidden_layers,
+        encoder_num_heads=cfg.model.encoder_num_heads,
+        encoder_intermediate_size=cfg.model.encoder_intermediate_size,
+        proj_num_heads=cfg.model.proj_num_heads,
+        is_multiview_learning=cfg.model.is_multiview_learning, dtype=dtype)
+    if task == "pretrain":
+        return PretrainModel(instance_temp=cfg.loss.instance_temp,
+                             region_temp=cfg.loss.region_temp,
+                             pretrain_loss=cfg.loss.pretrain_loss,
+                             mask_local_pad=cfg.loss.mask_local_pad, **common)
+    return FinetuneModel(
+        fusion_num_heads=cfg.model.fusion_num_heads,
+        fusion_intermediate_size=cfg.model.fusion_intermediate_size,
+        sk_fusion_num_layers=cfg.model.sk_fusion_num_layers,
+        d_model=cfg.model.d_model, d_ff=cfg.model.d_ff, num_heads=cfg.model.num_heads,
+        num_layers=cfg.model.num_layers, dropout=cfg.model.dropout,
+        drop_prob_lm=cfg.model.drop_prob_lm, rm_num_slots=cfg.model.rm_num_slots,
+        rm_num_heads=cfg.model.rm_num_heads, rm_d_model=cfg.model.rm_d_model,
+        max_seq_len=cfg.data.max_seq_len, **common)
+
+
+def build_loaders(cfg, tokenizer, ann, task: str):
+    from evoke_tpu.data.batching import MultiviewBatcher
+    from evoke_tpu.data.datasets import parse_finetune, parse_pretrain
+    from evoke_tpu.data.transforms import make_transform
+
+    size = cfg.model.image_size
+    n_anchor = cfg.data.batch_size
+    common = dict(n_anchor=n_anchor, max_seq_len=cfg.data.max_seq_len,
+                  image_dir=cfg.data.image_dir, num_workers=cfg.data.num_workers)
+    if task == "pretrain":
+        mk = lambda split, train: MultiviewBatcher(
+            parse_pretrain(ann, split, cfg.data.align_type),
+            tokenizer, make_transform(size, train), shuffle=train,
+            multiview=cfg.model.is_multiview_learning, **common)
+        return {"train": mk("train", True), "val": mk("val", False),
+                "test": mk("test", False)}
+    out = {}
+    for split in ("train", "val", "test"):
+        has_ind, no_ind = parse_finetune(ann, split)
+        train = split == "train" and task == "finetune"
+        tf = make_transform(size, train)
+        mk = lambda exs, with_ind: (MultiviewBatcher(
+            exs, tokenizer, tf, shuffle=train, with_indication=with_ind,
+            text_field="report", add_bos_eos=True,
+            multiview=cfg.model.is_multiview_learning, **common) if exs else None)
+        inc = mk(has_ind, True) if cfg.model.is_add_indication else None
+        no = mk(no_ind + ([] if cfg.model.is_add_indication else has_ind), False)
+        out[split] = (inc, no)
+    return out
+
+
+def init_finetune_state(cfg, model, loaders):
+    import jax
+
+    from evoke_tpu.train.optim import build_optimizer
+    from evoke_tpu.train.steps import create_train_state
+
+    loader = loaders["train"][0] or loaders["train"][1]
+    b0 = next(iter(loader))
+    inc_ids = b0.get("inc_ids", b0["ids"])
+    inc_mask = b0.get("inc_mask", b0["mask"])
+    variables = jax.jit(lambda *a: model.init(*a, method=model.warmup))(
+        jax.random.key(cfg.trainer.seed), b0["images"], b0["ids"], b0["mask"],
+        b0["pids"], b0["valid"], inc_ids, inc_mask)
+    tx = build_optimizer(cfg.optim.optim, "finetune", variables["params"],
+                         pt_lr=cfg.optim.pt_lr, ft_lr=cfg.optim.ft_lr,
+                         weight_decay=cfg.optim.weight_decay,
+                         grad_clip_value=cfg.optim.grad_clip_value)
+    return create_train_state(variables, tx), tx
+
+
+def init_pretrain_state(cfg, model, loaders):
+    import jax
+
+    from evoke_tpu.train.optim import build_optimizer
+    from evoke_tpu.train.steps import create_train_state
+
+    b0 = next(iter(loaders["train"]))
+    variables = jax.jit(model.init)(jax.random.key(cfg.trainer.seed), b0["images"],
+                                    b0["ids"], b0["mask"], b0["pids"], b0["valid"])
+    tx = build_optimizer(cfg.optim.optim, "pretrain", variables["params"],
+                         pt_lr=cfg.optim.pt_lr, ft_lr=cfg.optim.ft_lr,
+                         weight_decay=cfg.optim.weight_decay,
+                         grad_clip_value=cfg.optim.grad_clip_value)
+    return create_train_state(variables, tx), tx
+
+
+def metrics_fn_for(cfg):
+    """NLG always; CE metrics only when their checkpoints are configured."""
+    from evoke_tpu.evals.nlg import compute_nlg_scores
+
+    def fn(gts: Dict[str, List[str]], res: Dict[str, List[str]]) -> Dict[str, float]:
+        out = compute_nlg_scores(gts, res)
+        if cfg.metrics.chexbert_checkpoint and os.path.exists(cfg.metrics.chexbert_checkpoint):
+            try:
+                from evoke_tpu.evals.chexbert import compute_chexbert_scores
+                out.update(compute_chexbert_scores(
+                    [g[0] for g in gts.values()], [r[0] for r in res.values()],
+                    cfg.metrics.chexbert_checkpoint))
+            except Exception as e:  # CE metrics are off the hot path; degrade loudly
+                print(f"[metrics] CheXbert scoring failed: {e}", file=sys.stderr)
+        return out
+
+    return fn
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        print("tasks: pretrain | finetune | test | retrieve | score")
+        return 0
+    task = argv[0]
+    if task not in ("pretrain", "finetune", "test", "retrieve", "score"):
+        print(f"unknown task {task!r}; "
+              f"tasks: pretrain | finetune | test | retrieve | score", file=sys.stderr)
+        return 2
+    from evoke_tpu.core.config import load_config
+
+    yaml_path = None
+    if "--config" in argv:
+        i = argv.index("--config")
+        yaml_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    cfg = load_config(yaml_path, overrides={"trainer.task": task
+                                            if task != "retrieve" else "pretrain"},
+                      argv=argv[1:])
+    cfg.trainer.task = task if task != "retrieve" else "pretrain"
+
+    if task == "score":
+        return _score(cfg)
+
+    from evoke_tpu.data.datasets import load_annotation
+    from evoke_tpu.data.tokenizer import build_tokenizer
+
+    ann = load_annotation(cfg.data.ann_path)
+    tokenizer = build_tokenizer(cfg.data.tokenizer_dir, cfg.data.data_name,
+                                ann_path=cfg.data.ann_path,
+                                model=cfg.data.tokenizer_model,
+                                tokenizer_type=cfg.data.tokenizer_type)
+    cfg.vocab_size = tokenizer.get_vocab_size()
+    model = build_model(cfg, cfg.vocab_size, "pretrain" if task in ("pretrain", "retrieve")
+                        else "finetune")
+    loaders = build_loaders(cfg, tokenizer, ann,
+                            "pretrain" if task in ("pretrain", "retrieve") else task)
+
+    from evoke_tpu.train.trainer import FinetuneTrainer, PretrainTrainer, Tester
+
+    if task == "pretrain":
+        state, tx = init_pretrain_state(cfg, model, loaders)
+        trainer = PretrainTrainer(cfg, model, tokenizer, tx, state,
+                                  train_loader=loaders["train"],
+                                  val_loader=loaders["val"],
+                                  test_loader=loaders["test"])
+        trainer.train()
+        return 0
+    if task in ("finetune", "test"):
+        state, tx = init_finetune_state(cfg, model, loaders)
+        cls = FinetuneTrainer if task == "finetune" else Tester
+        trainer = cls(cfg, model, tokenizer, tx, state,
+                      train_loaders=loaders["train"],
+                      eval_loaders={"val": loaders["val"], "test": loaders["test"]},
+                      metrics_fn=metrics_fn_for(cfg))
+        if task == "finetune":
+            trainer.train()
+        else:
+            trainer.test()
+        return 0
+    if task == "retrieve":
+        return _retrieve(cfg, model, tokenizer, ann, loaders)
+    print(f"unknown task {task!r}", file=sys.stderr)
+    return 2
+
+
+def _score(cfg) -> int:
+    """Score a predictions file: JSON {id: text} pairs or a test_prediction.csv."""
+    from evoke_tpu.evals.nlg import compute_nlg_scores
+
+    path = cfg.data.ann_path  # reuse --ann_path for the predictions file
+    if path.endswith(".csv"):
+        import pandas as pd
+        df = pd.read_csv(path, dtype=str)
+        df = df[~df["images_id"].astype(str).str.startswith("__metric__")]
+        pred_col = [c for c in df.columns if c.startswith("pred_")][-1]
+        gts = {r["images_id"]: [str(r["ground_truth"])] for _, r in df.iterrows()}
+        res = {r["images_id"]: [str(r[pred_col])] for _, r in df.iterrows()}
+    else:
+        blob = json.loads(open(path).read())
+        gts = {k: [v] for k, v in blob["gts"].items()}
+        res = {k: [v] for k, v in blob["res"].items()}
+    print(json.dumps(compute_nlg_scores(gts, res), indent=2))
+    return 0
+
+
+def _retrieve(cfg, model, tokenizer, ann, loaders) -> int:
+    """Stage-1.5: build the specific-knowledge annotation via on-device top-k."""
+    import jax
+
+    from evoke_tpu.core.checkpoint import CheckpointManager
+    from evoke_tpu.retrieval.topk import TopKIndex, build_knowledge_annotation
+    from evoke_tpu.train.optim import build_optimizer
+    from evoke_tpu.train.steps import create_train_state
+
+    state, tx = init_pretrain_state(cfg, model, loaders)
+    if cfg.trainer.load:
+        mgr = CheckpointManager(os.path.dirname(cfg.trainer.load) or ".")
+        merged, report = mgr.partial_restore_from(cfg.trainer.load, state.params)
+        state = state.replace(params=merged)
+        print(f"loaded stage-1 weights: {report}")
+
+    @jax.jit
+    def encode(batch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        n_anchor = batch["ids"].shape[0]
+        proj, _ = model.apply(variables, batch["images"], batch["pids"], batch["valid"],
+                              n_anchor, train=False, method=model.encode_images)
+        return proj
+
+    def corpus(loader):
+        embs, codes, ids = [], [], []
+        for batch in loader:
+            strip = {k: v for k, v in batch.items() if not k.startswith("_")}
+            out = np.asarray(encode(strip))
+            for i, iid in enumerate(batch["_image_ids"]):
+                if not batch["valid"][i]:
+                    continue
+                embs.append(out[i].reshape(-1).astype(np.float16))
+                codes.append(hash(iid) & 0x7FFFFFFF)
+                ids.append(iid)
+        return np.stack(embs), np.asarray(codes, np.int64), ids
+
+    db_emb, db_codes, db_ids = corpus(loaders["train"])
+    index = TopKIndex(db_emb.astype(np.float32), db_codes, db_ids)
+    topk = 20
+    results = {}
+    for split in ("train", "val", "test"):
+        q_emb, q_codes, q_ids = corpus(loaders[split]) if split != "train" else (
+            db_emb, db_codes, db_ids)
+        _, idx = index.search(q_emb.astype(np.float32), q_codes, topk)
+        results[split] = {qid: [db_ids[j] for j in row] for qid, row in zip(q_ids, idx)}
+    out_path = cfg.data.ann_path.replace(
+        ".json", f"_best_reports_keywords_{topk}.json")
+    build_knowledge_annotation(cfg.data.ann_path, out_path,
+                               ["train", "val", "test"], results, topk)
+    print(f"wrote {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,217 @@
+"""Jittable generation: batched beam search + greedy/stochastic sampling.
+
+Behavioral contracts from EVOKE modules/caption_model.py:26-202 (beam_search) and
+modules/att_model.py:139-229 (_sample):
+
+- Beam search (group_size=1): classic beam step over joint log-probs; a beam
+  that emits EOS (or reaches max length, where ALL beams finish) is recorded
+  with ``p = length_penalty(len, sum_logprob)`` and its alive score is knocked
+  down by 1000 (caption_model.py:175-196). The best recorded beam per sample is
+  the output. Trigram blocking does NOT apply in the beam path (it lives in
+  _sample only) — matching the reference even though the config sets
+  block_trigrams=1 with beam_size=3.
+- Greedy/sample path: per-step sampling (greedy / temperature / top-k / top-p)
+  with optional decoding_constraint (forbid repeating the previous token) and
+  trigram blocking (logprob += count * -0.693 * 2.0, att_model.py:185-209);
+  sequences freeze to PAD after EOS.
+
+Idiomatic-TPU departure: the reference's Python-loop-per-token with full-prefix
+re-decode is replaced by a ``lax.scan`` over a KV-cached ``step`` callable —
+fixed max_len iterations, static shapes, no host sync inside the loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+# step signature: (tok [N], pos scalar, state) -> (logp [N, V], state)
+StepFn = Callable
+
+
+def penalty_fn(spec: str) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Length penalty builder (EVOKE modules/utils.py:160-211 semantics).
+
+    '' -> identity; 'wu_a' -> score / (((5+len)/6)**a); 'avg_a' -> score / len**a.
+    """
+    if not spec:
+        return lambda length, score: score
+    name, _, alpha = spec.partition("_")
+    a = float(alpha) if alpha else 0.0
+    if name == "wu":
+        return lambda length, score: score / (((5.0 + length) / 6.0) ** a)
+    if name == "avg":
+        return lambda length, score: score / jnp.maximum(length, 1.0) ** a
+    raise ValueError(f"unknown length penalty {spec!r}")
+
+
+class BeamResult(NamedTuple):
+    seqs: jnp.ndarray        # [B, beam, L] best-first
+    scores: jnp.ndarray      # [B, beam] length-penalized log-probs
+    alive_logp: jnp.ndarray  # [B, beam] raw running sums (diagnostic)
+
+
+def _gather_beams(tree, beam_idx, batch: int, beam: int):
+    """Reindex the leading N=B*beam axis of every leaf by beam_idx [B, beam]."""
+    flat_idx = (beam_idx + jnp.arange(batch)[:, None] * beam).reshape(-1)
+
+    def gather(x):
+        if x.ndim >= 1 and x.shape[0] == batch * beam:
+            return x[flat_idx]
+        if x.ndim >= 2 and x.shape[0] != batch * beam and x.shape[1] == batch * beam:
+            # stacked-per-layer caches: [layers, N, ...]
+            return x[:, flat_idx]
+        return x
+
+    return jax.tree_util.tree_map(gather, tree)
+
+
+def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, pad_id: int,
+                vocab_size: int, beam_size: int = 3, max_len: int = 100,
+                length_penalty: str = "", suppress_ids: Tuple[int, ...] = (),
+                decoding_constraint: bool = False) -> BeamResult:
+    """Batched beam search over a KV-cached step function.
+
+    ``state0`` must already be sized for N = batch * beam_size rows (broadcast
+    your per-sample encodings beam_size times before building it).
+    """
+    k = beam_size
+    n = batch * k
+    lp = penalty_fn(length_penalty)
+
+    def scan_body(carry, t):
+        (tok, dec_state, alive_logp, seq, done_seq, done_score) = carry
+        logp, dec_state = step(tok, t, dec_state)            # [N, V]
+        for sid in suppress_ids:
+            logp = logp.at[:, sid].add(-1000.0)
+        if decoding_constraint:
+            prev = tok  # forbid immediate repetition
+            logp = jnp.where(jax.nn.one_hot(prev, vocab_size, dtype=bool), NEG_INF, logp)
+        logp = logp.reshape(batch, k, vocab_size)
+
+        cand = alive_logp[:, :, None] + logp                 # [B, k, V]
+        # at t=0 all beams are identical BOS copies: keep only beam 0's candidates
+        cand = jnp.where((t == 0) & (jnp.arange(k)[None, :, None] > 0), NEG_INF, cand)
+        flat = cand.reshape(batch, k * vocab_size)
+        scores, idx = jax.lax.top_k(flat, k)                 # [B, k]
+        beam_idx = idx // vocab_size
+        tok_idx = idx % vocab_size
+
+        seq = jnp.take_along_axis(seq, beam_idx[:, :, None], axis=1)
+        seq = jax.lax.dynamic_update_index_in_dim(seq, tok_idx, t, axis=2)
+        dec_state = _gather_beams(dec_state, beam_idx, batch, k)
+
+        finished = (tok_idx == eos_id) | (t == max_len - 1)  # [B, k]
+        length = jnp.float32(t + 1)
+        fin_score = jnp.where(finished, lp(length, scores), NEG_INF)
+
+        # merge newly finished beams into the done buffer (keep top-k by score)
+        all_scores = jnp.concatenate([done_score, fin_score], axis=1)       # [B, 2k]
+        all_seqs = jnp.concatenate([done_seq, seq], axis=1)                  # [B, 2k, L]
+        top_scores, top_idx = jax.lax.top_k(all_scores, k)
+        done_seq = jnp.take_along_axis(all_seqs, top_idx[:, :, None], axis=1)
+        done_score = top_scores
+
+        alive_logp = scores - 1000.0 * finished.astype(jnp.float32)
+        return (tok_idx.reshape(n), dec_state, alive_logp, seq, done_seq, done_score), None
+
+    init = (
+        jnp.full((n,), bos_id, jnp.int32),
+        state0,
+        jnp.zeros((batch, k), jnp.float32),
+        jnp.full((batch, k, max_len), pad_id, jnp.int32),
+        jnp.full((batch, k, max_len), pad_id, jnp.int32),
+        jnp.full((batch, k), NEG_INF, jnp.float32),
+    )
+    (tok, dec_state, alive_logp, seq, done_seq, done_score), _ = jax.lax.scan(
+        scan_body, init, jnp.arange(max_len))
+
+    # zero out everything after (and excluding nothing) — tokens after EOS become PAD
+    pos = jnp.arange(max_len)[None, None, :]
+    is_eos = done_seq == eos_id
+    first_eos = jnp.where(is_eos.any(-1), jnp.argmax(is_eos, axis=-1), max_len)
+    done_seq = jnp.where(pos > first_eos[:, :, None], pad_id, done_seq)
+    return BeamResult(done_seq, done_score, alive_logp)
+
+
+def _trigram_penalty(seq: jnp.ndarray, t, vocab_size: int, alpha: float = 2.0) -> jnp.ndarray:
+    """Penalty over vocab for step t given generated prefix seq [N, L].
+
+    Counts tokens w such that (seq[t-2], seq[t-1], w) already occurred as a
+    trigram; penalty = count * (-0.693 * alpha) (att_model.py:185-209).
+    """
+    n, l = seq.shape
+    prev_a = jax.lax.dynamic_index_in_dim(seq, t - 2, axis=1, keepdims=False)
+    prev_b = jax.lax.dynamic_index_in_dim(seq, t - 1, axis=1, keepdims=False)
+    idx = jnp.arange(l)
+    # match at position i: seq[:, i-2] == prev_a and seq[:, i-1] == prev_b, for 2 <= i < t
+    shifted2 = jnp.roll(seq, 2, axis=1)
+    shifted1 = jnp.roll(seq, 1, axis=1)
+    match = (shifted2 == prev_a[:, None]) & (shifted1 == prev_b[:, None])
+    match = match & (idx[None, :] >= 2) & (idx[None, :] < t)
+    counts = jnp.zeros((n, vocab_size), jnp.float32).at[
+        jnp.arange(n)[:, None], seq].add(match.astype(jnp.float32))
+    return counts * (-0.693 * alpha)
+
+
+def greedy_sample(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, pad_id: int,
+                  vocab_size: int, max_len: int = 100, sample_method: str = "greedy",
+                  temperature: float = 1.0, top_k: int = 0, top_p: float = 0.0,
+                  block_trigrams: bool = True, decoding_constraint: bool = False,
+                  rng: Optional[jax.Array] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-beam sampling with trigram blocking. Returns (seq [B, L], logp_sum [B])."""
+    if rng is None:
+        rng = jax.random.key(0)
+
+    def sample_next(logp, key):
+        if sample_method == "greedy":
+            return jnp.argmax(logp, -1).astype(jnp.int32)
+        scaled = logp / temperature
+        if sample_method == "top_k" and top_k > 0:
+            kth = jax.lax.top_k(scaled, top_k)[0][:, -1:]
+            scaled = jnp.where(scaled < kth, NEG_INF, scaled)
+        elif sample_method == "top_p" and top_p > 0.0:
+            sorted_lp = jnp.sort(scaled, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(sorted_lp, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            cutoff_idx = jnp.sum(cum < top_p, axis=-1)
+            cutoff = jnp.take_along_axis(sorted_lp, cutoff_idx[:, None], axis=-1)
+            scaled = jnp.where(scaled < cutoff, NEG_INF, scaled)
+        return jax.random.categorical(key, scaled).astype(jnp.int32)
+
+    def scan_body(carry, t):
+        tok, dec_state, unfinished, seq, logp_sum, key = carry
+        logp, dec_state = step(tok, t, dec_state)            # [B, V]
+        if decoding_constraint:
+            prev_oh = jax.nn.one_hot(tok, vocab_size, dtype=bool)
+            logp = jnp.where((t > 0) & prev_oh, NEG_INF, logp)
+        if block_trigrams:
+            pen = jax.lax.cond(t >= 3,
+                               lambda: _trigram_penalty(seq, t, vocab_size),
+                               lambda: jnp.zeros((batch, vocab_size), jnp.float32))
+            logp = logp + pen
+        key, sub = jax.random.split(key)
+        nxt = sample_next(logp, sub)
+        nxt = jnp.where(unfinished, nxt, pad_id)
+        picked = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        logp_sum = logp_sum + picked * unfinished.astype(jnp.float32)
+        unfinished = unfinished & (nxt != eos_id)
+        seq = jax.lax.dynamic_update_index_in_dim(seq, nxt, t, axis=1)
+        return (nxt, dec_state, unfinished, seq, logp_sum, key), None
+
+    init = (
+        jnp.full((batch,), bos_id, jnp.int32),
+        state0,
+        jnp.ones((batch,), bool),
+        jnp.full((batch, max_len), pad_id, jnp.int32),
+        jnp.zeros((batch,), jnp.float32),
+        rng,
+    )
+    (tok, dec_state, unfinished, seq, logp_sum, _), _ = jax.lax.scan(
+        scan_body, init, jnp.arange(max_len))
+    return seq, logp_sum

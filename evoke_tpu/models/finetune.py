@@ -63,14 +63,17 @@ class FinetuneModel(nn.Module):
         self.text_head = ProjectionHead(self.output_dim, self.output_dim,
                                         final_bn=True, dtype=self.dtype)
         self.fusion = MultiviewFusion(self.d_vf, self.proj_num_heads, dtype=self.dtype)
+        # names match the reference's two-group optimizer split (optimizers.py:30)
         self.multimodal_fusion_layers = [
             BertCrossLayer(self.output_dim, self.fusion_num_heads,
                            self.fusion_intermediate_size, dtype=self.dtype,
-                           name=f"fusion_{i}") for i in range(self.sk_fusion_num_layers)]
+                           name=f"multimodal_fusion_layers_{i}")
+            for i in range(self.sk_fusion_num_layers)]
         self.visual_self_atten_layers = [
             BertLayer(self.output_dim, self.fusion_num_heads,
                       self.fusion_intermediate_size, dtype=self.dtype,
-                      name=f"selfatt_{i}") for i in range(self.sk_fusion_num_layers)]
+                      name=f"visual_self_atten_layers_{i}")
+            for i in range(self.sk_fusion_num_layers)]
         self.text_decoder = RMDecoder(
             vocab_size=self.vocab_size, d_model=self.d_model, d_ff=self.d_ff,
             d_vf=self.output_dim, num_layers=self.num_layers, num_heads=self.num_heads,
@@ -80,15 +83,18 @@ class FinetuneModel(nn.Module):
 
     # ---- encoding ----
 
-    def encode(self, images, pid_codes, valid, inc_ids: Optional[jnp.ndarray] = None,
+    def encode(self, images, pid_codes, valid, n_anchor: int,
+               inc_ids: Optional[jnp.ndarray] = None,
                inc_mask: Optional[jnp.ndarray] = None, train: bool = False) -> jnp.ndarray:
-        """-> encoder_hidden_states [B, 1+P, output_dim]."""
+        """images [B, H, W, 3] (n_anchor study anchors first, then auxiliary views)
+        -> encoder_hidden_states [n_anchor, 1+P, output_dim]."""
         patches, avg = self.visual_extractor(images, train=train)
         image_embed = jnp.concatenate([avg[:, None, :], patches], axis=1)
         if self.is_multiview_learning:
-            fused, _ = self.fusion(image_embed, pid_codes, valid, deterministic=not train)
+            fused, _ = self.fusion(image_embed, pid_codes, valid, n_anchor,
+                                   deterministic=not train)
         else:
-            fused = self.fusion.norm_only(image_embed)
+            fused = self.fusion.norm_only(image_embed[:n_anchor])
         x = self.visual_head(fused, train=train)
 
         if inc_ids is not None:
@@ -108,21 +114,32 @@ class FinetuneModel(nn.Module):
     def __call__(self, images, report_ids, report_mask, pid_codes, valid,
                  inc_ids: Optional[jnp.ndarray] = None, inc_mask: Optional[jnp.ndarray] = None,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
-        hidden = self.encode(images, pid_codes, valid, inc_ids, inc_mask, train=train)
+        n_anchor = report_ids.shape[0]
+        hidden = self.encode(images, pid_codes, valid, n_anchor, inc_ids, inc_mask,
+                             train=train)
         att_feats = hidden[:, 1:, :]
         att_mask = jnp.ones(att_feats.shape[:2], dtype=jnp.int32)
         log_probs = self.text_decoder(att_feats, att_mask, report_ids, report_mask,
                                       deterministic=not train)
-        lm = lm_loss(log_probs, report_ids, report_mask, sample_mask=valid)
+        lm = lm_loss(log_probs, report_ids, report_mask, sample_mask=valid[:n_anchor])
         return {"lm": lm, "all_loss": lm}
+
+    def warmup(self, images, report_ids, report_mask, pid_codes, valid, inc_ids, inc_mask):
+        """Trace BOTH the indication and no-indication branches so ``init`` creates
+        every parameter (flax only materializes params for traced modules)."""
+        out_no_inc = self.__call__(images, report_ids, report_mask, pid_codes, valid)
+        out_inc = self.__call__(images, report_ids, report_mask, pid_codes, valid,
+                                inc_ids, inc_mask)
+        return out_no_inc, out_inc
 
     # ---- generation support (used by decode/beam.py) ----
 
-    def encode_for_decode(self, images, pid_codes, valid,
+    def encode_for_decode(self, images, pid_codes, valid, n_anchor: int,
                           inc_ids: Optional[jnp.ndarray] = None,
                           inc_mask: Optional[jnp.ndarray] = None):
-        """-> (enc [B, P, d_model], att_mask [B, P]) ready for decode steps."""
-        hidden = self.encode(images, pid_codes, valid, inc_ids, inc_mask, train=False)
+        """-> (enc [n_anchor, P, d_model], att_mask [n_anchor, P]) for decode steps."""
+        hidden = self.encode(images, pid_codes, valid, n_anchor, inc_ids, inc_mask,
+                             train=False)
         att_feats = hidden[:, 1:, :]
         att_mask = jnp.ones(att_feats.shape[:2], dtype=jnp.int32)
         enc = self.text_decoder.encode(att_feats, att_mask, deterministic=True)

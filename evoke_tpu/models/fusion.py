@@ -1,16 +1,19 @@
 """Multiview fusion: one masked cross-attention over the whole batch.
 
 Capability parity: EVOKE's ``multiview_fusion``
-(models/model_pretrain_finetune_v0425_ablation.py:133-157 / :296-322): for each
-sample i, cross-attend its 1+N image tokens (query) over the concatenated tokens
-of all other samples j from the same study (key/value, gradient-stopped), then
-residual + LayerNorm; samples with no same-study partner pass through unchanged
-(after the first LayerNorm only).
+(models/model_pretrain_finetune_v0425_ablation.py:133-157 / :296-322) with the
+reference's batch layout (dataloaders_v0401.py:60-116): a batch holds the
+``n_anchor`` anchor images FIRST (one per study, aligned with the per-study
+texts) followed by the deduped auxiliary views. Fusion queries are the anchor
+rows only (the reference loops ``for i in range(batch_size)``); keys/values are
+the gradient-stopped tokens of every same-study row in the WHOLE batch
+(anchors + auxiliaries); residual + LayerNorm after; anchors with no partner
+pass through unchanged (after the first LayerNorm only).
 
 The reference loops over the batch in Python per sample — a GPU-hostile and
-TPU-impossible pattern. Here it is ONE batched attention: queries [B, T, D]
-attend over the flattened batch token axis [B*T, D] under a same-study mask
-[B, 1, 1, B*T]. Under a dp-sharded jit, XLA all-gathers the key/value tokens
+TPU-impossible pattern. Here it is ONE batched attention: queries
+[n_anchor, T, D] attend over the flattened batch token axis [B*T, D] under a
+same-study mask. Under a dp-sharded jit, XLA all-gathers the key/value tokens
 across shards so cross-shard same-study pairs fuse exactly as on one device.
 
 Deviation (documented): the reference's ScaledDotProductAttention
@@ -32,16 +35,22 @@ from evoke_tpu.models.layers import TorchLayerNorm, dot_attention
 Dtype = Any
 
 
-def same_study_matrix(pid_codes: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """[B] int codes, [B] bool -> [B, B] bool: same study, both valid, i != j."""
-    eq = pid_codes[:, None] == pid_codes[None, :]
-    v = valid[:, None] & valid[None, :]
-    eye = jnp.eye(pid_codes.shape[0], dtype=bool)
-    return eq & v & ~eye
+def same_study_matrix(q_pids: jnp.ndarray, k_pids: jnp.ndarray, q_valid: jnp.ndarray,
+                      k_valid: jnp.ndarray) -> jnp.ndarray:
+    """[Q], [K] int codes + validity -> [Q, K] bool: same study, both valid, not self.
+
+    "Self" means the same batch slot: query slot i corresponds to key slot i
+    (anchors are the first n_anchor slots of the key axis).
+    """
+    q, k = q_pids.shape[0], k_pids.shape[0]
+    eq = q_pids[:, None] == k_pids[None, :]
+    v = q_valid[:, None] & k_valid[None, :]
+    self_slot = jnp.arange(q)[:, None] == jnp.arange(k)[None, :]
+    return eq & v & ~self_slot
 
 
 class BatchedCrossViewAttention(nn.Module):
-    """MHA where sample i's tokens attend over all tokens of its same-study partners."""
+    """MHA where anchor i's tokens attend over all tokens of its same-study partners."""
 
     d_model: int
     num_heads: int = 8
@@ -70,37 +79,41 @@ class BatchedCrossViewAttention(nn.Module):
         out, _ = dot_attention(q, k, v)
         return self.fc_o(out.transpose(0, 2, 1, 3).reshape(b, tq, h * dk))
 
-    def __call__(self, x, study_mask, deterministic=True):
-        """x: [B, T, D]; study_mask: [B, B] bool (True = j is a partner view of i)."""
-        b, t, d = x.shape
+    def __call__(self, x_q, x_kv, study_mask, deterministic=True):
+        """x_q: [Q, T, D] anchors; x_kv: [B, T, D] whole batch;
+        study_mask: [Q, B] bool (True = key row j is a partner view of anchor i)."""
+        qn, t, d = x_q.shape
+        b = x_kv.shape[0]
         h, dk = self.num_heads, self._dk
 
-        kv = jax.lax.stop_gradient(x)  # reference detaches k/v
-        q = self.fc_q(x)
+        kv = jax.lax.stop_gradient(x_kv)  # reference detaches k/v
+        q = self.fc_q(x_q)
         k = self.fc_k(kv)
         v = self.fc_v(kv)
 
-        q = q.reshape(b, t, h, dk).transpose(0, 2, 1, 3)              # [B, h, T, dk]
+        q = q.reshape(qn, t, h, dk).transpose(0, 2, 1, 3)              # [Q, h, T, dk]
         k = k.reshape(b * t, h, dk).transpose(1, 0, 2)[None]           # [1, h, B*T, dk]
         v = v.reshape(b * t, h, dk).transpose(1, 0, 2)[None]           # [1, h, B*T, dk]
 
-        # attend mask: token q of sample i may see token of sample j iff study_mask[i, j].
-        # Rows with no partner attend to their own tokens (a dummy, NaN-safe path);
-        # their output is discarded by the caller's `where`.
-        has_partner = study_mask.any(-1)                               # [B]
-        self_mask = jnp.eye(b, dtype=bool) & ~has_partner[:, None]
-        attend = study_mask | self_mask                                # [B, B]
-        attend = jnp.repeat(attend, t, axis=1)[:, None, None, :]       # [B, 1, 1, B*T]
+        # anchors with no partner attend to their own tokens (a dummy, NaN-safe
+        # path); their output is discarded by the caller's `where`.
+        has_partner = study_mask.any(-1)                               # [Q]
+        self_mask = (jnp.arange(qn)[:, None] == jnp.arange(b)[None, :]) & ~has_partner[:, None]
+        attend = study_mask | self_mask                                # [Q, B]
+        attend = jnp.repeat(attend, t, axis=1)[:, None, None, :]       # [Q, 1, 1, B*T]
 
         dropout_fn = None if deterministic or self.dropout_rate == 0.0 else (
             lambda p: self.attn_drop(p, deterministic=False))
         out, _ = dot_attention(q, k, v, mask=attend, dropout_fn=dropout_fn)
-        out = out.transpose(0, 2, 1, 3).reshape(b, t, h * dk)
+        out = out.transpose(0, 2, 1, 3).reshape(qn, t, h * dk)
         return self.fc_o(out)
 
 
 class MultiviewFusion(nn.Module):
-    """LN1 -> masked cross-view attention -> residual + LN2 (pass-through when no partner)."""
+    """LN1 -> masked cross-view attention -> residual + LN2 (pass-through when no partner).
+
+    Input is the full batch [B, T, D]; output covers the first ``n_anchor`` rows.
+    """
 
     d_model: int
     num_heads: int = 8
@@ -115,18 +128,21 @@ class MultiviewFusion(nn.Module):
                                                self.dropout_rate, self.wide_qkv,
                                                dtype=self.dtype)
 
-    def __call__(self, image_embed, pid_codes, valid, deterministic=True
+    def __call__(self, image_embed, pid_codes, valid, n_anchor: int, deterministic=True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """image_embed: [B, T, D] ([global; patches]); pid_codes/valid: [B].
+        """image_embed: [B, T, D] ([global; patches] per image, anchors first);
+        pid_codes/valid: [B]; n_anchor: static anchor count.
 
-        Returns (fused [B, T, D], has_partner [B]).
+        Returns (fused [n_anchor, T, D], has_partner [n_anchor]).
         """
-        study_mask = same_study_matrix(pid_codes, valid)
+        study_mask = same_study_matrix(pid_codes[:n_anchor], pid_codes,
+                                       valid[:n_anchor], valid)
         has_partner = study_mask.any(-1)
         x = self.layer_norm_1(image_embed)
-        att = self.cross(x, study_mask, deterministic=deterministic)
-        fused = self.layer_norm_2(att + x)
-        out = jnp.where(has_partner[:, None, None], fused, x)
+        x_q = x[:n_anchor]
+        att = self.cross(x_q, x, study_mask, deterministic=deterministic)
+        fused = self.layer_norm_2(att + x_q)
+        out = jnp.where(has_partner[:, None, None], fused, x_q)
         return out, has_partner
 
     def norm_only(self, image_embed):

@@ -53,14 +53,16 @@ class PretrainModel(nn.Module):
                                         final_bn=False, dtype=self.dtype)
         self.fusion = MultiviewFusion(self.d_vf, self.proj_num_heads, dtype=self.dtype)
 
-    def encode_images(self, images, pid_codes, valid, train=False):
-        """images: [B, H, W, 3] -> (proj [B, 1+P, out], raw_global [B, d_vf])."""
+    def encode_images(self, images, pid_codes, valid, n_anchor: int, train=False):
+        """images: [B, H, W, 3] (anchors first) ->
+        (proj [n_anchor, 1+P, out], raw_global [B, d_vf])."""
         patches, avg = self.visual_extractor(images, train=train)
         image_embed = jnp.concatenate([avg[:, None, :], patches], axis=1)
         if self.is_multiview_learning:
-            fused, _ = self.fusion(image_embed, pid_codes, valid, deterministic=not train)
+            fused, _ = self.fusion(image_embed, pid_codes, valid, n_anchor,
+                                   deterministic=not train)
         else:
-            fused = self.fusion.norm_only(image_embed)
+            fused = self.fusion.norm_only(image_embed[:n_anchor])
         proj = self.visual_head(fused, train=train)
         return proj, avg
 
@@ -70,13 +72,22 @@ class PretrainModel(nn.Module):
 
     def __call__(self, images, text_ids, text_mask, pid_codes, valid, train=False
                  ) -> Dict[str, jnp.ndarray]:
-        """Returns the loss dict {multiview_loss, instance_loss, sen_text_loss, all_loss}."""
-        proj, raw_global = self.encode_images(images, pid_codes, valid, train=train)
+        """Batch layout (reference contract, dataloaders_v0401.py:60-116):
+        images [B, H, W, 3] = n_anchor study anchors first, then deduped auxiliary
+        views; text_ids/text_mask [n_anchor, L] per-study texts; pid_codes/valid [B].
+
+        Returns the loss dict {multiview_loss, instance_loss, sen_text_loss, all_loss}.
+        """
+        n_anchor = text_ids.shape[0]
+        proj, raw_global = self.encode_images(images, pid_codes, valid, n_anchor, train=train)
         v_fc, v_att = proj[:, 0, :], proj[:, 1:, :]
+        anchor_pids = pid_codes[:n_anchor]
+        anchor_valid = valid[:n_anchor]
 
         zero = jnp.float32(0.0)
         mul_pos = zero
         if self.is_multiview_learning:
+            # over ALL images (anchors + auxiliaries), on raw global feats (:374-377)
             mul_pos = multi_positive_image_loss(raw_global, pid_codes, valid, self.region_temp)
 
         if self.pretrain_loss == "mpc":
@@ -89,11 +100,12 @@ class PretrainModel(nn.Module):
         instance = zero
         local = zero
         if self.pretrain_loss in ("all", "mpc+global", "global+local"):
-            instance = global_alignment_loss(v_fc, t_fc, pid_codes, valid, self.instance_temp)
+            instance = global_alignment_loss(v_fc, t_fc, anchor_pids, anchor_valid,
+                                             self.instance_temp)
         if self.pretrain_loss in ("all", "mpc+local", "global+local"):
             local = local_token_alignment_loss(
                 v_att, t_att, text_mask[:, 1:] if self.mask_local_pad else None,
-                self.region_temp, valid=valid)
+                self.region_temp, valid=anchor_valid)
         if self.pretrain_loss == "global+local":
             mul_pos = zero
 

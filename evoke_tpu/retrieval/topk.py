@@ -1,0 +1,130 @@
+"""Patient-specific knowledge retrieval: exact top-k similarity search on device.
+
+Capability parity: EVOKE's PretrainTester (modules/multiview/trainer.py:518-843):
+encode every train image with the Stage-1 model (flattened token embeddings,
+d = output_dim x (1+49)), build a FAISS IndexIVFFlat inner-product index, search
+top-(k+10) per train/val/test image, drop same-study hits, and write
+{sk_ids, reports, sk_keywords} into an augmented annotation JSON
+(..._best_reports_keywords_{topk}.json).
+
+TPU-native replacement for FAISS (SURVEY §2.12): EXACT top-k as a jitted
+chunked matmul + jax.lax.top_k with a streaming merge — no approximate IVF
+needed; a [Q_chunk, D] x [D, N_chunk] matmul saturates the MXU, and exactness
+removes FAISS's recall/nprobe tuning. Database chunks stream HBM-sized; a
+running top-k buffer merges per chunk.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e30
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _chunk_topk(queries, db_chunk, chunk_start, best_scores, best_idx, k: int,
+                query_study, db_study_chunk):
+    """Merge top-k of (queries @ db_chunk.T) into the running (best_scores, best_idx).
+
+    Same-study database entries are masked out (the reference drops them
+    post-search, multiview/trainer.py:590-609; masking pre-merge is equivalent
+    and keeps the buffer dense).
+    """
+    sims = jnp.einsum("qd,nd->qn", queries, db_chunk,
+                      preferred_element_type=jnp.float32)
+    same = query_study[:, None] == db_study_chunk[None, :]
+    sims = jnp.where(same, NEG_INF, sims)
+    scores, idx = jax.lax.top_k(sims, min(k, db_chunk.shape[0]))
+    idx = idx + chunk_start
+    merged_scores = jnp.concatenate([best_scores, scores], axis=1)
+    merged_idx = jnp.concatenate([best_idx, idx], axis=1)
+    new_scores, pos = jax.lax.top_k(merged_scores, k)
+    new_idx = jnp.take_along_axis(merged_idx, pos, axis=1)
+    return new_scores, new_idx
+
+
+class TopKIndex:
+    """Exact inner-product top-k over a host-resident database, computed on device."""
+
+    def __init__(self, embeddings: np.ndarray, study_codes: np.ndarray,
+                 ids: Sequence[str], chunk_size: int = 4096):
+        assert embeddings.shape[0] == len(ids) == study_codes.shape[0]
+        self.db = embeddings
+        self.study_codes = study_codes.astype(np.int64)
+        self.ids = list(ids)
+        self.chunk_size = chunk_size
+
+    def search(self, queries: np.ndarray, query_study_codes: np.ndarray, k: int,
+               query_chunk: int = 1024) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (scores [Q, k], indices [Q, k]) excluding same-study entries."""
+        n = self.db.shape[0]
+        k = min(k, n)
+        out_scores, out_idx = [], []
+        for qs in range(0, queries.shape[0], query_chunk):
+            q = jnp.asarray(queries[qs:qs + query_chunk], jnp.float32)
+            qc = jnp.asarray(query_study_codes[qs:qs + query_chunk])
+            best_s = jnp.full((q.shape[0], k), NEG_INF, jnp.float32)
+            best_i = jnp.zeros((q.shape[0], k), jnp.int32)
+            for start in range(0, n, self.chunk_size):
+                chunk = jnp.asarray(self.db[start:start + self.chunk_size], jnp.float32)
+                codes = jnp.asarray(self.study_codes[start:start + self.chunk_size])
+                best_s, best_i = _chunk_topk(q, chunk, start, best_s, best_i, k, qc, codes)
+            out_scores.append(np.asarray(best_s))
+            out_idx.append(np.asarray(best_i))
+        return np.concatenate(out_scores), np.concatenate(out_idx)
+
+
+def encode_corpus(encode_fn, loader, flatten: bool = True
+                  ) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    """Run a jitted encode_fn(batch) -> [n_anchor, T, D] over a loader; returns
+    (embeddings [N, T*D], study_codes [N], ids [N]). study codes are hashes of
+    the study key (collision-safe enough for exclusion masking)."""
+    embs, codes, ids = [], [], []
+    for batch in loader:
+        out = np.asarray(encode_fn(batch))
+        n_anchor = len(batch["_image_ids"])
+        for i in range(n_anchor):
+            if not batch["valid"][i]:
+                continue
+            e = out[i]
+            embs.append(e.reshape(-1) if flatten else e)
+            ids.append(batch["_image_ids"][i])
+            codes.append(hash(batch["_study_keys"][i]) & 0x7FFFFFFF
+                         if "_study_keys" in batch else hash(batch["_image_ids"][i]) & 0x7FFFFFFF)
+    return np.stack(embs), np.asarray(codes, np.int64), ids
+
+
+def attach_specific_knowledge(ann: Dict[str, List[dict]], split: str,
+                              results_ids: Dict[str, List[str]],
+                              id_to_item: Dict[str, dict], topk: int) -> None:
+    """Write {sk_ids, reports, sk_keywords} into ann[split] items in place
+    (the reference's get_specific_knowledge output contract,
+    multiview/trainer.py:768-804)."""
+    for item in ann[split]:
+        iid = str(item["id"])
+        hits = results_ids.get(iid, [])[:topk]
+        item["specific_knowledge"] = {
+            "sk_ids": hits,
+            "reports": [id_to_item[h]["report"] for h in hits if h in id_to_item],
+            "sk_keywords": [id_to_item[h].get("core_findings", [])
+                            for h in hits if h in id_to_item],
+        }
+
+
+def build_knowledge_annotation(ann_path: str, out_path: str, splits: Sequence[str],
+                               results_by_split: Dict[str, Dict[str, List[str]]],
+                               topk: int) -> str:
+    with open(ann_path) as f:
+        ann = json.load(f)
+    id_to_item = {str(it["id"]): it for it in ann.get("train", [])}
+    for split in splits:
+        attach_specific_knowledge(ann, split, results_by_split[split], id_to_item, topk)
+    with open(out_path, "w") as f:
+        json.dump(ann, f)
+    return out_path

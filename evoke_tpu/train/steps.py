@@ -1,0 +1,142 @@
+"""Jitted SPMD train/eval/generate steps.
+
+The reference's epoch hot loop (EVOKE modules/trainer_v0401.py:241-300) moves
+tensors per batch, calls backward, clips, steps, and empties the CUDA cache
+every batch. Here the whole update is ONE jitted function: forward + grads +
+clip + optimizer, with batch arrays sharded over the ``dp`` mesh axis and
+params replicated — XLA inserts the gradient psum and the all-gathers for the
+global-batch contrastive matrices.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from flax.core import FrozenDict
+
+from evoke_tpu.core import prng
+from evoke_tpu.decode.beam import beam_search, greedy_sample
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(variables, tx) -> Tuple[TrainState, Any]:
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    opt_state = tx.init(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=opt_state)
+
+
+def make_train_step(model, tx, root_key, loss_key: str = "all_loss",
+                    with_indication: bool = False, task: str = "finetune"):
+    """Returns a jitted (state, batch) -> (state, metrics) update step.
+
+    batch: {images, ids, mask, pids, valid[, inc_ids, inc_mask]}.
+    """
+
+    def loss_fn(params, batch_stats, batch, dropout_rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        args = [batch["images"], batch["ids"], batch["mask"], batch["pids"], batch["valid"]]
+        if with_indication:
+            args += [batch["inc_ids"], batch["inc_mask"]]
+        out, mutated = model.apply(variables, *args, train=True,
+                                   mutable=["batch_stats"], rngs={"dropout": dropout_rng})
+        return out[loss_key], (out, mutated["batch_stats"])
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        dropout_rng = prng.step_key(root_key, state.step, f"{task}-dropout")
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (out, new_stats)), grads = grad_fn(state.params, state.batch_stats, batch,
+                                               dropout_rng)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt_state)
+        metrics = {k: v for k, v in out.items()}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, loss_key: str = "all_loss", with_indication: bool = False):
+    @jax.jit
+    def eval_step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        args = [batch["images"], batch["ids"], batch["mask"], batch["pids"], batch["valid"]]
+        if with_indication:
+            args += [batch["inc_ids"], batch["inc_mask"]]
+        out = model.apply(variables, *args, train=False)
+        return out
+
+    return eval_step
+
+
+def _expand_for_beams(tree, beam: int):
+    """Repeat the leading batch axis beam times: [B, ...] -> [B*beam, ...]."""
+    def rep(x):
+        return jnp.repeat(x, beam, axis=0)
+    return jax.tree_util.tree_map(rep, tree)
+
+
+def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
+                       with_indication: bool = False):
+    """Returns a jitted (state, batch) -> seq [B, L] generation step.
+
+    Dispatches to beam search (beam_size > 1) or greedy/sampling, mirroring
+    att_model._sample's dispatch (att_model.py:151-155).
+    """
+    beam = decode_cfg.beam_size
+    vocab = tokenizer.get_vocab_size() + 1
+    common = dict(bos_id=tokenizer.bos_id, eos_id=tokenizer.eos_id, pad_id=tokenizer.pad_id,
+                  vocab_size=vocab, max_len=max_seq_len)
+    suppress = (tokenizer.unk_id,) if decode_cfg.suppress_unk else ()
+
+    @jax.jit
+    def generate_step(state: TrainState, batch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        b = batch["ids"].shape[0]  # n_anchor: one report per study anchor
+        inc = [batch["inc_ids"], batch["inc_mask"]] if with_indication else []
+        enc, att_mask = model.apply(variables, batch["images"], batch["pids"], batch["valid"],
+                                    b, *inc, method=model.encode_for_decode)
+        if beam > 1 and decode_cfg.sample_method in ("greedy", "beam_search"):
+            enc_b = _expand_for_beams(enc, beam)
+            mask_b = _expand_for_beams(att_mask, beam)
+            state0 = model.apply(variables, enc_b, b * beam, max_seq_len,
+                                 method=model.init_decode_state)
+
+            def step(tok, pos, dstate):
+                return model.apply(variables, tok, pos, dstate, mask_b,
+                                   method=model.decode_step)
+
+            res = beam_search(step, state0, b, beam_size=beam,
+                              length_penalty=decode_cfg.length_penalty,
+                              suppress_ids=suppress,
+                              decoding_constraint=bool(decode_cfg.decoding_constraint),
+                              **common)
+            return res.seqs[:, 0, :]
+        state0 = model.apply(variables, enc, b, max_seq_len, method=model.init_decode_state)
+
+        def step(tok, pos, dstate):
+            return model.apply(variables, tok, pos, dstate, att_mask,
+                               method=model.decode_step)
+
+        seq, _ = greedy_sample(step, state0, b, sample_method=decode_cfg.sample_method
+                               if decode_cfg.sample_method != "beam_search" else "greedy",
+                               temperature=decode_cfg.temperature,
+                               block_trigrams=bool(decode_cfg.block_trigrams),
+                               decoding_constraint=bool(decode_cfg.decoding_constraint),
+                               **common)
+        return seq
+
+    return generate_step

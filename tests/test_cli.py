@@ -1,0 +1,67 @@
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from evoke_tpu.cli import main as cli_main
+from evoke_tpu.data.synthetic import write_synthetic_dataset
+
+TINY = [
+    "--model.output_dim", "32", "--model.encoder_hidden_size", "32",
+    "--model.encoder_num_hidden_layers", "1", "--model.encoder_num_heads", "2",
+    "--model.encoder_intermediate_size", "64", "--model.d_model", "32",
+    "--model.d_ff", "64", "--model.num_heads", "2", "--model.num_layers", "1",
+    "--model.rm_num_slots", "2", "--model.rm_d_model", "32",
+    "--model.fusion_num_heads", "2", "--model.fusion_intermediate_size", "64",
+    "--model.image_size", "32", "--data.max_seq_len", "16",
+    "--data.batch_size", "2", "--data.num_workers", "2",
+    "--trainer.epochs", "1", "--trainer.log_interval", "1000",
+    "--decode.beam_size", "2",
+]
+
+
+class TestScore:
+    def test_score_json(self, tmp_path, capsys):
+        blob = {"gts": {"a": "the heart is normal .", "b": "no effusion ."},
+                "res": {"a": "the heart is normal .", "b": "small effusion ."}}
+        p = tmp_path / "preds.json"
+        p.write_text(json.dumps(blob))
+        rc = cli_main(["score", "--data.ann_path", str(p)])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert abs(out["BLEU_1"]) <= 1.0 and out["ROUGE_L"] > 0.5
+
+    def test_score_prediction_csv(self, tmp_path, capsys):
+        from evoke_tpu.core.loggers import PredictionCSV
+        p = str(tmp_path / "test_prediction.csv")
+        PredictionCSV(p).update("1", ["i1", "i2"], ["gt a", "gt b"], ["gt a", "x"],
+                                {"BLEU_4": 0.5})
+        rc = cli_main(["score", "--data.ann_path", p])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert "BLEU_4" in out
+
+    def test_help(self, capsys):
+        assert cli_main([]) == 0
+        assert "pretrain" in capsys.readouterr().out
+
+    def test_unknown_task(self):
+        assert cli_main(["frobnicate"]) == 2
+
+
+@pytest.mark.slow
+class TestEndToEndCLI:
+    def test_pretrain_micro_run(self, tmp_path):
+        root = str(tmp_path)
+        ann = write_synthetic_dataset(root, n_train=4, n_val=2, n_test=2, image_size=32)
+        rc = cli_main(["pretrain", "--data.ann_path", ann, "--data.image_dir", root,
+                       "--data.tokenizer_dir", os.path.join(root, "tok"),
+                       "--trainer.result_dir", os.path.join(root, "results"),
+                       "--trainer.version", "cli_t"] + TINY)
+        assert rc == 0
+        rd = os.path.join(root, "results", "mimic_cxr", "pretrain", "cli_t")
+        assert os.path.exists(os.path.join(rd, "pretrain.log"))
+        assert os.path.isdir(os.path.join(rd, "checkpoint", "current"))

@@ -1,0 +1,188 @@
+"""Decode tests: the jitted lax.scan beam search must reproduce the reference
+algorithm's outputs (caption_model.py:26-202 semantics) on a toy history-dependent
+step function; the greedy path must match a literal Python port of _sample."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evoke_tpu.decode.beam import beam_search, greedy_sample, penalty_fn
+
+V = 12
+EOS = 2
+BOS = 10
+PAD = 0
+
+
+def make_tables(seed=0):
+    rng = np.random.default_rng(seed)
+    M = rng.normal(size=(V, V)).astype(np.float32)
+    M = M - np.log(np.exp(M).sum(-1, keepdims=True))
+    return M
+
+
+def np_logp(M, tok, counts):
+    """History-dependent toy model: logits = M[tok] - 0.7 * counts, log-softmaxed."""
+    logits = M[tok] - 0.7 * counts
+    logits = logits - logits.max(-1, keepdims=True)
+    return logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+
+def jax_step(M):
+    Mj = jnp.asarray(M)
+
+    def step(tok, pos, state):
+        # count the fed token first (BOS fed at pos 0 isn't "generated")
+        counts = state["counts"].at[jnp.arange(tok.shape[0]), tok].add(
+            jnp.where(pos > 0, 1.0, 0.0))
+        logits = Mj[tok] - 0.7 * counts
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return logp, {"counts": counts}
+
+    return step
+
+
+def reference_beam(M, batch, k, L, length_penalty=""):
+    """Literal numpy port of the reference beam loop (group_size=1)."""
+    pen = penalty_fn(length_penalty)
+    outs = []
+    for b in range(batch):
+        counts = np.zeros((1, V), np.float32)
+        logprobs = np_logp(M, np.array([BOS]), counts)  # [1, V]
+        beam_seq = np.zeros((1, 0), np.int64)
+        beam_logprobs_sum = np.zeros((1,))
+        beam_counts = counts
+        done = []
+        for t in range(L):
+            cand = beam_logprobs_sum[:, None] + logprobs  # [nb, V]
+            flat = cand.reshape(-1)
+            order = np.argsort(-flat, kind="stable")[:k]
+            beam_ix = order // V
+            tok_ix = order % V
+            beam_seq = np.concatenate([beam_seq[beam_ix], tok_ix[:, None]], axis=1)
+            beam_logprobs_sum = flat[order]
+            beam_counts = beam_counts[beam_ix].copy()
+            is_end = tok_ix == EOS
+            if t == L - 1:
+                is_end[:] = True
+            for vix in range(len(tok_ix)):
+                if is_end[vix]:
+                    done.append({"seq": beam_seq[vix].copy(),
+                                 "p": float(pen(np.float64(t + 1),
+                                                np.float64(beam_logprobs_sum[vix])))})
+            beam_logprobs_sum = beam_logprobs_sum - 1000.0 * is_end
+            # feed tokens, update per-beam counts
+            for vix in range(len(tok_ix)):
+                beam_counts[vix, tok_ix[vix]] += 1.0
+            logprobs = np_logp(M, tok_ix, beam_counts)
+        done.sort(key=lambda d: -d["p"])
+        outs.append(done[0])
+    return outs
+
+
+class TestBeamSearch:
+    @pytest.mark.parametrize("penalty", ["", "avg_1"])
+    def test_matches_reference_algorithm(self, penalty):
+        M = make_tables()
+        batch, k, L = 3, 3, 8
+        n = batch * k
+        step = jax_step(M)
+        state0 = {"counts": jnp.zeros((n, V), jnp.float32)}
+        res = jax.jit(lambda s0: beam_search(
+            step, s0, batch, bos_id=BOS, eos_id=EOS, pad_id=PAD, vocab_size=V,
+            beam_size=k, max_len=L, length_penalty=penalty))(state0)
+        ref = reference_beam(M, batch, k, L, length_penalty=penalty)
+        for b in range(batch):
+            got_seq = np.asarray(res.seqs[b, 0])
+            want = ref[b]["seq"]
+            got_trim = got_seq[: len(want)]
+            np.testing.assert_array_equal(got_trim, want,
+                                          err_msg=f"b={b} got {got_seq} want {want}")
+            np.testing.assert_allclose(float(res.scores[b, 0]), ref[b]["p"], rtol=1e-4)
+
+    def test_pads_after_eos(self):
+        M = make_tables(3)
+        batch, k, L = 2, 3, 10
+        step = jax_step(M)
+        state0 = {"counts": jnp.zeros((batch * k, V), jnp.float32)}
+        res = beam_search(step, state0, batch, bos_id=BOS, eos_id=EOS, pad_id=PAD,
+                          vocab_size=V, beam_size=k, max_len=L)
+        seq = np.asarray(res.seqs[:, 0])
+        for row in seq:
+            if EOS in row:
+                after = row[np.argmax(row == EOS) + 1:]
+                assert (after == PAD).all()
+
+
+def reference_greedy(M, batch, L, block_trigrams=True, alpha=2.0):
+    """Literal numpy port of att_model._sample greedy + trigram blocking."""
+    counts = np.zeros((batch, V), np.float32)
+    tok = np.full((batch,), BOS, np.int64)
+    seq = np.full((batch, L), PAD, np.int64)
+    unfinished = np.ones(batch, bool)
+    trigrams = [dict() for _ in range(batch)]
+    for t in range(L):
+        logp = np_logp(M, tok, counts)
+        if block_trigrams and t >= 3:
+            for i in range(batch):
+                prev_two = (seq[i, t - 3], seq[i, t - 2])
+                cur = seq[i, t - 1]
+                trigrams[i].setdefault(prev_two, []).append(cur)
+            mask = np.zeros((batch, V), np.float32)
+            for i in range(batch):
+                prev_two = (seq[i, t - 2], seq[i, t - 1])
+                for j in trigrams[i].get(prev_two, []):
+                    mask[i, j] += 1
+            logp = logp + mask * -0.693 * alpha
+        nxt = logp.argmax(-1)
+        nxt[~unfinished] = PAD
+        unfinished = unfinished & (nxt != EOS)
+        seq[:, t] = nxt
+        for i in range(batch):
+            counts[i, nxt[i]] += 1
+        tok = nxt
+    return seq
+
+
+class TestGreedy:
+    def test_matches_reference_algorithm(self):
+        M = make_tables(1)
+        batch, L = 4, 12
+        step = jax_step(M)
+        state0 = {"counts": jnp.zeros((batch, V), jnp.float32)}
+        seq, logp = jax.jit(lambda s0: greedy_sample(
+            step, s0, batch, bos_id=BOS, eos_id=EOS, pad_id=PAD, vocab_size=V,
+            max_len=L, block_trigrams=True))(state0)
+        want = reference_greedy(M, batch, L, block_trigrams=True)
+        np.testing.assert_array_equal(np.asarray(seq), want)
+
+    def test_no_blocking_differs_when_repetitive(self):
+        # a model that mildly prefers one token: the -0.693*alpha*count penalty
+        # must eventually beat the preference gap (alpha=2 -> 1.386 per count)
+        M = np.full((V, V), -0.5, np.float32)
+        M[:, 5] = 0.0
+        M[:, EOS] = -5.0  # keep it generating
+        M = M - np.log(np.exp(M).sum(-1, keepdims=True))
+
+        def step(tok, pos, state):
+            return jnp.asarray(M)[tok], state
+
+        state0 = {"d": jnp.zeros(())}
+        seq_b, _ = greedy_sample(step, state0, 1, bos_id=BOS, eos_id=EOS, pad_id=PAD,
+                                 vocab_size=V, max_len=10, block_trigrams=True)
+        seq_n, _ = greedy_sample(step, state0, 1, bos_id=BOS, eos_id=EOS, pad_id=PAD,
+                                 vocab_size=V, max_len=10, block_trigrams=False)
+        assert (np.asarray(seq_n)[0] == 5).all()
+        assert not (np.asarray(seq_b)[0] == 5).all()
+
+    def test_stochastic_methods_run(self):
+        M = make_tables(2)
+        batch, L = 2, 6
+        step = jax_step(M)
+        for method, kw in [("sample", {}), ("top_k", {"top_k": 3}), ("top_p", {"top_p": 0.9})]:
+            state0 = {"counts": jnp.zeros((batch, V), jnp.float32)}
+            seq, _ = greedy_sample(step, state0, batch, bos_id=BOS, eos_id=EOS, pad_id=PAD,
+                                   vocab_size=V, max_len=L, sample_method=method,
+                                   block_trigrams=False, rng=jax.random.key(7), **kw)
+            assert seq.shape == (batch, L)

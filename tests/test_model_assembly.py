@@ -81,7 +81,7 @@ class TestFinetuneModel:
         variables = model.init(KEY, batch["images"], batch["ids"], batch["mask"],
                                batch["pids"], batch["valid"])
         enc, att_mask = model.apply(variables, batch["images"], batch["pids"], batch["valid"],
-                                    method=model.encode_for_decode)
+                                    4, method=model.encode_for_decode)
         assert enc.shape == (4, 4, 16)  # 64px -> 2x2=4 patches, d_model=16
         state = model.apply(variables, enc, 4, method=model.init_decode_state)
         logp, state = model.apply(variables, jnp.zeros(4, jnp.int32), 0, state, att_mask,

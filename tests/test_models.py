@@ -99,15 +99,16 @@ class TestProjectionHead:
 
 
 class TestMultiviewFusion:
-    def _reference_loop(self, fusion, variables, x, pids, valid):
-        """Per-sample Python loop mirroring EVOKE's multiview_fusion for the test oracle."""
+    def _reference_loop(self, fusion, variables, x, pids, valid, n_anchor):
+        """Per-anchor Python loop mirroring EVOKE's multiview_fusion for the test oracle."""
         b = x.shape[0]
-        m = np.asarray(same_study_matrix(jnp.asarray(pids), jnp.asarray(valid)))
+        m = np.asarray(same_study_matrix(jnp.asarray(pids[:n_anchor]), jnp.asarray(pids),
+                                         jnp.asarray(valid[:n_anchor]), jnp.asarray(valid)))
         ln1 = lambda a: fusion.apply(variables, a, method=lambda mod, a: mod.layer_norm_1(a))
         ln2 = lambda a: fusion.apply(variables, a, method=lambda mod, a: mod.layer_norm_2(a))
         xn = np.asarray(ln1(jnp.asarray(x)))
         outs = []
-        for i in range(b):
+        for i in range(n_anchor):
             if m[i].sum() == 0:
                 outs.append(xn[i])
                 continue
@@ -121,28 +122,30 @@ class TestMultiviewFusion:
         return np.stack(outs)
 
     def test_matches_per_sample_loop(self, rng):
-        b, t, d = 5, 3, 16
+        # 4 anchors (studies 0..3) + 2 aux views (of studies 0 and 2)
+        b, t, d, n_anchor = 6, 3, 16, 4
         x = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
-        pids = jnp.asarray([0, 0, 1, 2, 2], jnp.int32)
-        valid = jnp.asarray([True, True, True, True, True])
+        pids = jnp.asarray([0, 1, 2, 3, 0, 2], jnp.int32)
+        valid = jnp.ones(b, bool)
         fusion = MultiviewFusion(d_model=d, num_heads=4)
-        variables = fusion.init(KEY, x, pids, valid)
-        fused, has = fusion.apply(variables, x, pids, valid)
-        assert fused.shape == (b, t, d)
-        np.testing.assert_array_equal(np.asarray(has), [True, True, False, True, True])
+        variables = fusion.init(KEY, x, pids, valid, n_anchor)
+        fused, has = fusion.apply(variables, x, pids, valid, n_anchor)
+        assert fused.shape == (n_anchor, t, d)
+        np.testing.assert_array_equal(np.asarray(has), [True, False, True, False])
         ref = self._reference_loop(fusion, variables, np.asarray(x), np.asarray(pids),
-                                   np.asarray(valid))
+                                   np.asarray(valid), n_anchor)
         np.testing.assert_allclose(np.asarray(fused), ref, rtol=1e-4, atol=1e-4)
 
-    def test_invalid_rows_passthrough(self, rng):
-        b, t, d = 4, 2, 8
+    def test_invalid_aux_ignored(self, rng):
+        # aux slot shares the study but is padding-invalid -> anchor has no partner
+        b, t, d, n_anchor = 3, 2, 8, 2
         x = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
-        pids = jnp.asarray([0, 0, 0, 0], jnp.int32)
-        valid = jnp.asarray([True, True, False, False])
+        pids = jnp.asarray([0, 1, 0], jnp.int32)
+        valid = jnp.asarray([True, True, False])
         fusion = MultiviewFusion(d_model=d, num_heads=2)
-        variables = fusion.init(KEY, x, pids, valid)
-        fused, has = fusion.apply(variables, x, pids, valid)
-        np.testing.assert_array_equal(np.asarray(has), [True, True, False, False])
+        variables = fusion.init(KEY, x, pids, valid, n_anchor)
+        fused, has = fusion.apply(variables, x, pids, valid, n_anchor)
+        np.testing.assert_array_equal(np.asarray(has), [False, False])
 
     def test_no_nan_gradients_when_no_partner(self, rng):
         b, t, d = 3, 2, 8
@@ -150,10 +153,10 @@ class TestMultiviewFusion:
         pids = jnp.asarray([0, 1, 2], jnp.int32)  # nobody has a partner
         valid = jnp.ones(b, bool)
         fusion = MultiviewFusion(d_model=d, num_heads=2)
-        variables = fusion.init(KEY, x, pids, valid)
+        variables = fusion.init(KEY, x, pids, valid, 3)
 
         def loss_fn(v, xx):
-            out, _ = fusion.apply(v, xx, pids, valid)
+            out, _ = fusion.apply(v, xx, pids, valid, 3)
             return jnp.sum(out ** 2)
 
         g = jax.grad(loss_fn, argnums=1)(variables, x)

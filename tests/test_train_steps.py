@@ -1,0 +1,147 @@
+"""End-to-end micro-runs on synthetic data (SURVEY.md §4 test plan, item 4):
+jitted DP train steps must decrease the loss; generation must emit decodable
+sequences; dp-sharded steps must match single-device math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evoke_tpu.core.config import DecodeConfig
+from evoke_tpu.core.mesh import MeshSpec, create_mesh, shard_batch
+from evoke_tpu.core import prng
+from evoke_tpu.data.synthetic import corpus_for_tokenizer, synthetic_batch
+from evoke_tpu.data.tokenizer import WordTokenizer
+from evoke_tpu.models.finetune import FinetuneModel
+from evoke_tpu.models.pretrain import PretrainModel
+from evoke_tpu.train.optim import build_optimizer
+from evoke_tpu.train.steps import (create_train_state, make_eval_step, make_generate_step,
+                                   make_train_step)
+
+KEY = jax.random.key(42)
+
+SMALL = dict(output_dim=32, encoder_hidden_size=32, encoder_num_layers=1,
+             encoder_num_heads=2, encoder_intermediate_size=64)
+
+DEC = dict(d_model=32, d_ff=64, num_heads=2, num_layers=2, rm_num_slots=3, rm_d_model=32,
+           fusion_num_heads=2, fusion_intermediate_size=64, sk_fusion_num_layers=1,
+           drop_prob_lm=0.0)
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return WordTokenizer.train(corpus_for_tokenizer())
+
+
+@pytest.fixture(scope="module")
+def batch(tok):
+    rng = np.random.default_rng(0)
+    return synthetic_batch(rng, tok, batch=8, image_size=32, max_seq_len=16)
+
+
+class TestFinetuneTraining:
+    def test_loss_decreases(self, tok, batch):
+        model = FinetuneModel(vocab_size=tok.get_vocab_size(), max_seq_len=16, **DEC, **SMALL)
+        variables = jax.jit(model.init)(KEY, batch["images"], batch["ids"], batch["mask"],
+                                        batch["pids"], batch["valid"])
+        # grad_clip_value=10: the reference's clip(0.1) + RAdam's ~25-step
+        # unrectified warmup makes a short overfit test impossibly slow
+        tx = build_optimizer("RAdam", "finetune", variables["params"],
+                             pt_lr=1e-3, ft_lr=1e-3, weight_decay=0.0, grad_clip_value=10.0)
+        state = create_train_state(variables, tx)
+        step = make_train_step(model, tx, prng.root_key(0))
+        losses = []
+        for _ in range(20):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["lm"]))
+        assert losses[-1] < losses[0] * 0.9, losses
+        assert all(np.isfinite(losses))
+
+    def test_generate_beam_and_greedy(self, tok, batch):
+        model = FinetuneModel(vocab_size=tok.get_vocab_size(), max_seq_len=16, **DEC, **SMALL)
+        variables = jax.jit(model.init)(KEY, batch["images"], batch["ids"], batch["mask"],
+                                        batch["pids"], batch["valid"])
+        tx = build_optimizer("RAdam", "finetune", variables["params"],
+                             pt_lr=1e-3, ft_lr=1e-3, weight_decay=0.0)
+        state = create_train_state(variables, tx)
+        gen_beam = make_generate_step(model, tok, DecodeConfig(beam_size=3), 16)
+        seqs = gen_beam(state, batch)
+        assert seqs.shape == (8, 16)
+        texts = tok.decode_batch(np.asarray(seqs).tolist())
+        assert all(isinstance(t, str) for t in texts)
+        gen_greedy = make_generate_step(model, tok, DecodeConfig(beam_size=1,
+                                                                 sample_method="greedy"), 16)
+        seqs_g = gen_greedy(state, batch)
+        assert seqs_g.shape == (8, 16)
+
+    def test_two_group_lrs_differ(self, tok, batch):
+        model = FinetuneModel(vocab_size=tok.get_vocab_size(), max_seq_len=16, **DEC, **SMALL)
+        inc_ids, inc_mask = batch["ids"][:, :6], batch["mask"][:, :6]
+        variables = jax.jit(lambda *a: model.init(*a, method=model.warmup))(
+            KEY, batch["images"], batch["ids"], batch["mask"], batch["pids"],
+            batch["valid"], inc_ids, inc_mask)
+        labels = {"fusion": "pt", "text_encoder": "pt", "visual_extractor": "pt",
+                  "multimodal_fusion_layers_0": "ft", "visual_self_atten_layers_0": "ft",
+                  "text_decoder": "ft", "text_head": "ft", "visual_head": "ft"}
+        from evoke_tpu.train.optim import _param_labels
+        got = _param_labels(variables["params"])
+        for k, want in labels.items():
+            assert set(jax.tree_util.tree_leaves(got[k])) == {want}, k
+        tx = build_optimizer("RAdam", "finetune", variables["params"],
+                             pt_lr=0.0, ft_lr=1e-3, weight_decay=0.0)
+        state = create_train_state(variables, tx)
+        # snapshot BEFORE stepping: the jitted step donates the old state's buffers
+        before_vx = np.asarray(jax.tree_util.tree_leaves(state.params["visual_extractor"])[0])
+        before_td = np.asarray(jax.tree_util.tree_leaves(state.params["text_decoder"])[0])
+        step = make_train_step(model, tx, prng.root_key(0))
+        new_state, _ = step(state, batch)
+        # pt group (visual_extractor) frozen at lr=0; ft group (text_decoder) moves
+        after_vx = np.asarray(jax.tree_util.tree_leaves(new_state.params["visual_extractor"])[0])
+        after_td = np.asarray(jax.tree_util.tree_leaves(new_state.params["text_decoder"])[0])
+        np.testing.assert_array_equal(before_vx, after_vx)
+        assert not np.allclose(before_td, after_td)
+
+
+class TestPretrainTraining:
+    def test_loss_decreases(self, tok, batch):
+        model = PretrainModel(vocab_size=tok.get_vocab_size(), **SMALL)
+        variables = jax.jit(model.init)(KEY, batch["images"], batch["ids"], batch["mask"],
+                                        batch["pids"], batch["valid"])
+        tx = build_optimizer("AdamW", "pretrain", variables["params"],
+                             pt_lr=1e-3, ft_lr=1e-3, weight_decay=0.0, grad_clip_value=10.0)
+        state = create_train_state(variables, tx)
+        step = make_train_step(model, tx, prng.root_key(1), task="pretrain")
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["all_loss"]))
+        assert losses[-1] < losses[0], losses
+
+    def test_eval_step_runs(self, tok, batch):
+        model = PretrainModel(vocab_size=tok.get_vocab_size(), **SMALL)
+        variables = jax.jit(model.init)(KEY, batch["images"], batch["ids"], batch["mask"],
+                                        batch["pids"], batch["valid"])
+        tx = build_optimizer("AdamW", "pretrain", variables["params"],
+                             pt_lr=1e-3, ft_lr=1e-3, weight_decay=0.0)
+        state = create_train_state(variables, tx)
+        ev = make_eval_step(model)
+        out = ev(state, batch)
+        assert np.isfinite(float(out["all_loss"]))
+
+
+class TestDPEquivalence:
+    def test_sharded_step_matches_single_device(self, devices, tok, batch):
+        """DP loss == single-device loss (SURVEY §4 item 3)."""
+        mesh = create_mesh(MeshSpec(dp=8))
+        model = PretrainModel(vocab_size=tok.get_vocab_size(), **SMALL)
+        variables = jax.jit(model.init)(KEY, batch["images"], batch["ids"], batch["mask"],
+                                        batch["pids"], batch["valid"])
+        ev = make_eval_step(model)
+        tx = build_optimizer("AdamW", "pretrain", variables["params"],
+                             pt_lr=1e-3, ft_lr=1e-3, weight_decay=0.0)
+        state = create_train_state(variables, tx)
+        single = ev(state, batch)
+        sharded_batch = shard_batch(batch, mesh)
+        sharded = ev(state, sharded_batch)
+        np.testing.assert_allclose(float(sharded["all_loss"]), float(single["all_loss"]),
+                                   rtol=2e-5)
