@@ -50,6 +50,10 @@ class FinetuneModel(nn.Module):
     rm_d_model: int = 512
     max_seq_len: int = 100
     is_multiview_learning: bool = True
+    decoder_kind: str = "r2gen"     # r2gen | cmn (reference: text_decoder choice)
+    cmm_size: int = 2048
+    cmm_dim: int = 512
+    cmn_topk: int = 32
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -74,12 +78,23 @@ class FinetuneModel(nn.Module):
                       self.fusion_intermediate_size, dtype=self.dtype,
                       name=f"visual_self_atten_layers_{i}")
             for i in range(self.sk_fusion_num_layers)]
-        self.text_decoder = RMDecoder(
-            vocab_size=self.vocab_size, d_model=self.d_model, d_ff=self.d_ff,
-            d_vf=self.output_dim, num_layers=self.num_layers, num_heads=self.num_heads,
-            dropout_rate=self.dropout, drop_prob_lm=self.drop_prob_lm,
-            rm_num_slots=self.rm_num_slots, rm_num_heads=self.rm_num_heads,
-            rm_d_model=self.rm_d_model, max_seq_len=self.max_seq_len, dtype=self.dtype)
+        if self.decoder_kind == "cmn":
+            from evoke_tpu.models.cmn import CMNDecoder
+            self.text_decoder = CMNDecoder(
+                vocab_size=self.vocab_size, d_model=self.d_model, d_ff=self.d_ff,
+                d_vf=self.output_dim, num_layers=self.num_layers,
+                num_heads=self.num_heads, dropout_rate=self.dropout,
+                drop_prob_lm=self.drop_prob_lm, cmm_size=self.cmm_size,
+                cmm_dim=self.cmm_dim, topk=self.cmn_topk,
+                max_seq_len=self.max_seq_len, dtype=self.dtype)
+        else:
+            self.text_decoder = RMDecoder(
+                vocab_size=self.vocab_size, d_model=self.d_model, d_ff=self.d_ff,
+                d_vf=self.output_dim, num_layers=self.num_layers,
+                num_heads=self.num_heads, dropout_rate=self.dropout,
+                drop_prob_lm=self.drop_prob_lm, rm_num_slots=self.rm_num_slots,
+                rm_num_heads=self.rm_num_heads, rm_d_model=self.rm_d_model,
+                max_seq_len=self.max_seq_len, dtype=self.dtype)
 
     # ---- encoding ----
 

@@ -207,6 +207,8 @@ class RMDecoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
+        # the memory rolls over tgt embeddings of width d_model (encoder_decoder.py:53)
+        assert self.rm_d_model == self.d_model, "rm_d_model must equal d_model"
         self.att_embed = nn.Dense(self.d_model, dtype=self.dtype, name="att_embed")
         self.att_drop = nn.Dropout(self.drop_prob_lm)
         self.enc_layers = [
