@@ -56,6 +56,7 @@ class BatchedCrossViewAttention(nn.Module):
     num_heads: int = 8
     dropout_rate: float = 0.1
     wide_qkv: bool = False
+    use_pallas: bool = False   # fused flash-style kernel (ops/fusion_attention.py)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -92,19 +93,24 @@ class BatchedCrossViewAttention(nn.Module):
         v = self.fc_v(kv)
 
         q = q.reshape(qn, t, h, dk).transpose(0, 2, 1, 3)              # [Q, h, T, dk]
-        k = k.reshape(b * t, h, dk).transpose(1, 0, 2)[None]           # [1, h, B*T, dk]
-        v = v.reshape(b * t, h, dk).transpose(1, 0, 2)[None]           # [1, h, B*T, dk]
+        k = k.reshape(b * t, h, dk).transpose(1, 0, 2)                 # [h, B*T, dk]
+        v = v.reshape(b * t, h, dk).transpose(1, 0, 2)                 # [h, B*T, dk]
 
         # anchors with no partner attend to their own tokens (a dummy, NaN-safe
         # path); their output is discarded by the caller's `where`.
         has_partner = study_mask.any(-1)                               # [Q]
         self_mask = (jnp.arange(qn)[:, None] == jnp.arange(b)[None, :]) & ~has_partner[:, None]
         attend = study_mask | self_mask                                # [Q, B]
-        attend = jnp.repeat(attend, t, axis=1)[:, None, None, :]       # [Q, 1, 1, B*T]
 
-        dropout_fn = None if deterministic or self.dropout_rate == 0.0 else (
-            lambda p: self.attn_drop(p, deterministic=False))
-        out, _ = dot_attention(q, k, v, mask=attend, dropout_fn=dropout_fn)
+        use_dropout = not deterministic and self.dropout_rate > 0.0
+        if self.use_pallas and not use_dropout:
+            from evoke_tpu.ops.fusion_attention import masked_cross_view_attention
+            out = masked_cross_view_attention(q, k, v, attend, t_tokens=t)
+        else:
+            mask4 = jnp.repeat(attend, t, axis=1)[:, None, None, :]    # [Q, 1, 1, B*T]
+            dropout_fn = None if not use_dropout else (
+                lambda p: self.attn_drop(p, deterministic=False))
+            out, _ = dot_attention(q, k[None], v[None], mask=mask4, dropout_fn=dropout_fn)
         out = out.transpose(0, 2, 1, 3).reshape(qn, t, h * dk)
         return self.fc_o(out)
 
