@@ -50,14 +50,19 @@ class FinetuneModel(nn.Module):
     rm_d_model: int = 512
     max_seq_len: int = 100
     is_multiview_learning: bool = True
-    decoder_kind: str = "r2gen"     # r2gen | cmn (reference: text_decoder choice)
+    decoder_kind: str = "r2gen"     # r2gen | cmn | causal (reference: text_decoder)
+    visual_encoder: str = "resnet101"   # resnet101 | vit_b32 (reference Inference :429)
     cmm_size: int = 2048
     cmm_dim: int = 512
     cmn_topk: int = 32
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.visual_extractor = VisualExtractor(dtype=self.dtype)
+        if self.visual_encoder == "vit_b32":
+            from evoke_tpu.models.vit import ViTExtractor
+            self.visual_extractor = ViTExtractor(d_vf=self.d_vf, dtype=self.dtype)
+        else:
+            self.visual_extractor = VisualExtractor(dtype=self.dtype)
         self.text_encoder = TextEncoder(
             self.vocab_size, self.encoder_hidden_size, self.encoder_num_layers,
             self.encoder_num_heads, self.encoder_intermediate_size, dtype=self.dtype)
@@ -78,7 +83,15 @@ class FinetuneModel(nn.Module):
                       self.fusion_intermediate_size, dtype=self.dtype,
                       name=f"visual_self_atten_layers_{i}")
             for i in range(self.sk_fusion_num_layers)]
-        if self.decoder_kind == "cmn":
+        if self.decoder_kind == "causal":
+            from evoke_tpu.models.causal_decoder import CausalDecoder
+            self.text_decoder = CausalDecoder(
+                vocab_size=self.vocab_size, d_model=self.d_model,
+                d_ff=max(self.d_ff, 4 * self.d_model), d_vf=self.output_dim,
+                num_layers=self.num_layers, num_heads=self.num_heads,
+                dropout_rate=self.dropout, drop_prob_lm=self.drop_prob_lm,
+                max_seq_len=self.max_seq_len, dtype=self.dtype)
+        elif self.decoder_kind == "cmn":
             from evoke_tpu.models.cmn import CMNDecoder
             self.text_decoder = CMNDecoder(
                 vocab_size=self.vocab_size, d_model=self.d_model, d_ff=self.d_ff,

@@ -103,7 +103,9 @@ class MultiHeadAttention(nn.Module):
         v = self._split(v_proj)
         drop = None if deterministic or self.dropout_rate == 0.0 else (
             lambda p: self.drop(p, deterministic=False))
-        out, _ = dot_attention(q, k, v, mask=mask, dropout_fn=drop)
+        out, probs = dot_attention(q, k, v, mask=mask, dropout_fn=drop)
+        # observability: capture attention maps via apply(..., mutable=['intermediates'])
+        self.sow("intermediates", "attn", probs)
         return self.wo(self._merge(out))
 
     def __call__(self, q_in, k_in, v_in, mask=None, deterministic=True):

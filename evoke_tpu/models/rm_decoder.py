@@ -76,6 +76,7 @@ class RelationalMemory(nn.Module):
             return new, new
 
         scan = nn.scan(body, variable_broadcast="params",
+                       variable_axes={"intermediates": 1},
                        split_rngs={"params": False, "dropout": not deterministic},
                        in_axes=1, out_axes=1)
         _, outs = scan(self, init, xs)

@@ -126,7 +126,29 @@ class PlateauScheduler:
         self._bad_epochs = d["bad_epochs"]
 
 
-def build_scheduler(name: str, mode: str, step_size: int = 10, gamma: float = 0.5):
+@dataclass
+class WarmupCosineScheduler:
+    """LinearWarmupCosineAnnealing (reference models/schedulers/*.py parity):
+    linear 0 -> 1 over warmup_epochs, then cosine to min_scale at max_epochs."""
+
+    warmup_epochs: int = 5
+    max_epochs: int = 50
+    min_scale: float = 0.0
+
+    def update(self, epoch: int, metric: float | None = None) -> float:
+        import math
+
+        if epoch < self.warmup_epochs:
+            return max(epoch / max(self.warmup_epochs, 1), 1e-8)
+        t = min((epoch - self.warmup_epochs) /
+                max(self.max_epochs - self.warmup_epochs, 1), 1.0)
+        return self.min_scale + (1 - self.min_scale) * 0.5 * (1 + math.cos(math.pi * t))
+
+
+def build_scheduler(name: str, mode: str, step_size: int = 10, gamma: float = 0.5,
+                    warmup_epochs: int = 5, max_epochs: int = 50):
     if name == "StepLR":
         return StepScheduler(step_size=step_size, gamma=gamma)
+    if name == "WarmupCosine":
+        return WarmupCosineScheduler(warmup_epochs=warmup_epochs, max_epochs=max_epochs)
     return PlateauScheduler(mode=mode)

@@ -1,0 +1,62 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evoke_tpu.evals.heatmaps import (denormalize_image, generation_heatmaps,
+                                      jet_colormap, token_heatmap)
+from evoke_tpu.models.rm_decoder import RMDecoder
+from evoke_tpu.train.optim import WarmupCosineScheduler, build_scheduler
+
+KEY = jax.random.key(0)
+
+
+class TestAttentionCapture:
+    def test_cross_attention_sown(self, rng):
+        dec = RMDecoder(vocab_size=20, d_model=16, d_ff=32, d_vf=24, num_layers=2,
+                        num_heads=2, rm_num_slots=2, rm_d_model=16, max_seq_len=5,
+                        drop_prob_lm=0.0)
+        att = jnp.asarray(rng.normal(size=(2, 9, 24)), jnp.float32)  # 3x3 patch grid
+        att_mask = jnp.ones((2, 9), jnp.int32)
+        ids = jnp.asarray(rng.integers(1, 20, size=(2, 5)), jnp.int32)
+        tgt_mask = jnp.ones((2, 5), jnp.int32)
+        variables = dec.init(KEY, att, att_mask, ids, tgt_mask)
+        _, inter = dec.apply(variables, att, att_mask, ids, tgt_mask,
+                             mutable=["intermediates"])
+        node = inter["intermediates"]["dec_0"]["src_attn"]["attn"][0]
+        assert node.shape == (2, 2, 5, 9)  # [B, heads, Tq, patches]
+        np.testing.assert_allclose(np.asarray(node.sum(-1)), 1.0, rtol=1e-4)
+
+
+class TestHeatmaps:
+    def test_token_heatmap_shape_and_range(self, rng):
+        img = rng.normal(size=(32, 32, 3)).astype(np.float32)
+        weights = rng.random(9).astype(np.float32)
+        out = token_heatmap(img, weights)
+        assert out.shape == (32, 32, 3)
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
+    def test_jet_extremes(self):
+        cold = jet_colormap(np.array(0.0))
+        hot = jet_colormap(np.array(1.0))
+        assert cold[2] > cold[0]  # blue end
+        assert hot[0] > hot[2]    # red end
+
+    def test_generation_heatmaps(self, rng):
+        img = rng.normal(size=(16, 16, 3)).astype(np.float32)
+        attn = rng.random((2, 5, 16)).astype(np.float32)  # heads x tokens x 4x4 patches
+        maps = generation_heatmaps(img, attn, [0, 2, 4])
+        assert len(maps) == 3 and maps[0].shape == (16, 16, 3)
+
+
+class TestWarmupCosine:
+    def test_shape_of_schedule(self):
+        s = WarmupCosineScheduler(warmup_epochs=5, max_epochs=20)
+        vals = [s.update(e) for e in range(21)]
+        assert vals[1] < vals[4] < vals[5]          # warmup rising
+        assert abs(vals[5] - 1.0) < 1e-6            # peak after warmup
+        assert vals[10] > vals[15] > vals[20]       # cosine falling
+        assert abs(vals[20] - 0.0) < 1e-6
+
+    def test_builder(self):
+        s = build_scheduler("WarmupCosine", "max", warmup_epochs=2, max_epochs=10)
+        assert isinstance(s, WarmupCosineScheduler)
