@@ -96,7 +96,8 @@ def parse_pretrain(ann: Dict[str, List[Dict]], split: str, align_type: str = "ke
             id=str(item["id"]),
             study_key=_study_key(item),
             anchor_path=item["image_path"][0],
-            aux_paths=list(item.get("multiview_image_path") or []),
+            aux_paths=(list(item["image_path"][1:])
+                       + list(item.get("multiview_image_path") or [])),
             report=item.get("report", ""),
             align_text=text,
         ))
@@ -120,7 +121,8 @@ def parse_finetune(ann: Dict[str, List[Dict]], split: str, uncased: bool = True
             id=str(item["id"]),
             study_key=_study_key(item),
             anchor_path=item["image_path"][0],
-            aux_paths=list(item.get("multiview_image_path") or []),
+            aux_paths=(list(item["image_path"][1:])
+                       + list(item.get("multiview_image_path") or [])),
             report=rep,
             indication=("[CLS] " + ind) if ind else "",
             knowledge=item.get("specific_knowledge"),
