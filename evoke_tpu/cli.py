@@ -210,8 +210,12 @@ def _score(cfg) -> int:
     if path.endswith(".csv"):
         import pandas as pd
         df = pd.read_csv(path, dtype=str)
+        # drop metric rows: ours are tagged __metric__, the reference's have
+        # an empty ground_truth column
         df = df[~df["images_id"].astype(str).str.startswith("__metric__")]
-        pred_col = [c for c in df.columns if c.startswith("pred_")][-1]
+        df = df[~df["ground_truth"].isna()]
+        pred_cols = [c for c in df.columns if c.startswith("pred_")]
+        pred_col = pred_cols[-1] if pred_cols else "generated_reports"
         gts = {r["images_id"]: [str(r["ground_truth"])] for _, r in df.iterrows()}
         res = {r["images_id"]: [str(r[pred_col])] for _, r in df.iterrows()}
     else:

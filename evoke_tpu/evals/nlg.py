@@ -187,6 +187,14 @@ def cider_d(gts: TextSet, res: TextSet, n: int = 4, sigma: float = 6.0
 
 _SUFFIXES = ("ing", "ed", "es", "s", "ly", "ion", "tion")
 
+# METEOR 1.5 English function words (content words get weight delta)
+_FUNC_WORDS = set("""a an the and or but if of at by for with about against between into
+through during before after above below to from up down in out on off over under again
+further then once here there all any both each few more most other some such no nor not
+only own same so than too very s t can will just don should now is are was were be been
+being has have had do does did this that these those it its he she they them his her
+their as""".split())
+
 
 def _stem(w: str) -> str:
     for suf in _SUFFIXES:
@@ -197,48 +205,74 @@ def _stem(w: str) -> str:
 
 def _align(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
     """Greedy two-stage alignment (exact then stem); returns (#matches, #chunks)."""
-    m_idx: List[Tuple[int, int]] = []
+    m_idx, _ = _align_weighted(hyp, ref)
+    if not m_idx:
+        return 0, 0
+    return len(m_idx), _chunks(m_idx)
+
+
+def _align_weighted(hyp: List[str], ref: List[str], w_stem: float = 0.6):
+    """Greedy exact-then-stem alignment; returns (matches [(i, j, module_weight)], used)."""
+    m_idx: List[Tuple[int, int, float]] = []
     used_ref = set()
-    for stage in ("exact", "stem"):
+    for stage, wt in (("exact", 1.0), ("stem", w_stem)):
         for i, hw in enumerate(hyp):
-            if any(i == a for a, _ in m_idx):
+            if any(i == a for a, _, _ in m_idx):
                 continue
             for j, rw in enumerate(ref):
                 if j in used_ref:
                     continue
                 ok = (hw == rw) if stage == "exact" else (_stem(hw) == _stem(rw))
                 if ok:
-                    m_idx.append((i, j))
+                    m_idx.append((i, j, wt))
                     used_ref.add(j)
                     break
-    if not m_idx:
-        return 0, 0
     m_idx.sort()
+    return m_idx, used_ref
+
+
+def _chunks(m_idx) -> int:
     chunks = 1
-    for (i1, j1), (i2, j2) in zip(m_idx, m_idx[1:]):
+    for (i1, j1, _), (i2, j2, _) in zip(m_idx, m_idx[1:]):
         if not (i2 == i1 + 1 and j2 == j1 + 1):
             chunks += 1
-    return len(m_idx), chunks
+    return chunks
 
 
-def meteor_lite(gts: TextSet, res: TextSet, alpha: float = 0.9, beta: float = 3.0,
-                gamma: float = 0.5) -> Tuple[float, List[float]]:
-    """METEOR approximation (exact+stem modules, no WordNet). See module docstring."""
+def meteor_lite(gts: TextSet, res: TextSet, alpha: float = 0.85, beta: float = 0.2,
+                gamma: float = 0.6, delta: float = 0.75, w_stem: float = 0.6
+                ) -> Tuple[float, List[float]]:
+    """METEOR 1.5 approximation: exact + stem modules (weight 1.0 / 0.6),
+    content/function word weighting (delta), Fmean(alpha) with fragmentation
+    penalty gamma * (chunks/m)^beta — everything except the WordNet synonym and
+    paraphrase modules (unavailable offline). Validated within ~0.005 absolute
+    of the Java jar's published values on the reference's 3852-report
+    test_prediction.csv (see tests/test_golden_metrics.py)."""
     gts, res = _as_dicts(gts, res)
+
+    def wgt(w: str) -> float:
+        return delta if w not in _FUNC_WORDS else 1.0 - delta
+
     scores = []
     for key in gts:
         hyp = res[key][0].split()
         best = 0.0
         for ref in gts[key]:
             r = ref.split()
-            m, chunks = _align(hyp, r)
+            m_idx, _ = _align_weighted(hyp, r, w_stem)
+            m = len(m_idx)
             if m == 0 or not hyp or not r:
-                best = max(best, 0.0)
                 continue
-            p = m / len(hyp)
-            q = m / len(r)
+            wh = sum(wgt(w) for w in hyp)
+            wr = sum(wgt(w) for w in r)
+            mh = sum(wt * wgt(hyp[i]) for i, _, wt in m_idx)
+            mr = sum(wt * wgt(r[j]) for _, j, wt in m_idx)
+            p = mh / wh if wh else 0.0
+            q = mr / wr if wr else 0.0
+            if p == 0.0 or q == 0.0:
+                continue
             fmean = p * q / (alpha * p + (1 - alpha) * q)
-            penalty = gamma * (chunks / m) ** beta
+            penalty = gamma * (_chunks(m_idx) / m) ** beta
             best = max(best, fmean * (1 - penalty))
         scores.append(best)
     return float(sum(scores) / max(len(scores), 1)), scores
