@@ -24,20 +24,34 @@ def _path_str(path) -> str:
 
 
 class CheckpointManager:
-    """Directory layout: {dir}/current/, {dir}/best/, plus meta.json per slot."""
+    """Directory layout: {dir}/current/, {dir}/best/, plus meta.json per slot.
 
-    def __init__(self, directory: str):
+    async_save=True uses orbax's AsyncCheckpointer so the epoch loop continues
+    while the state streams to disk (SURVEY §5.3's preemption-resilience
+    mandate); saves are serialized (wait before starting the next).
+    """
+
+    def __init__(self, directory: str, async_save: bool = False):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
-        self._ckptr = ocp.PyTreeCheckpointer()
+        self.async_save = async_save
+        if async_save:
+            self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        else:
+            self._ckptr = ocp.PyTreeCheckpointer()
 
     def _slot(self, name: str) -> str:
         return os.path.join(self.directory, name)
+
+    def wait(self) -> None:
+        if self.async_save:
+            self._ckptr.wait_until_finished()
 
     def save(self, name: str, state: Any, meta: Optional[Dict[str, Any]] = None,
              force: bool = True) -> None:
         """state: any pytree (e.g. TrainState). meta: JSON-serializable extras."""
         path = self._slot(name)
+        self.wait()  # serialize in-flight async saves
         self._ckptr.save(path, jax.device_get(state), force=force)
         with open(path + ".meta.json", "w") as f:
             json.dump(meta or {}, f)

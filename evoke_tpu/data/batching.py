@@ -138,6 +138,37 @@ class MultiviewBatcher:
                 yield self._build_batch(group, rng, pool)
 
 
+def device_prefetch(batches, mesh=None, depth: int = 2):
+    """Overlap host->device transfer with device compute.
+
+    Yields (device_batch, host_extras) pairs; up to ``depth`` batches are
+    device_put ahead of consumption (jax transfers are async, so the copy of
+    batch N+1 rides along while step N runs). Private '_'-prefixed keys stay on
+    host. This is the TPU answer to the reference's pinned-memory `.to(device,
+    non_blocking=True)` per batch (trainer_v0401.py:259).
+    """
+    import collections
+
+    import jax
+
+    from evoke_tpu.core.mesh import shard_batch
+
+    queue: "collections.deque" = collections.deque()
+
+    def put(batch):
+        host = {k: v for k, v in batch.items() if k.startswith("_")}
+        data = {k: v for k, v in batch.items() if not k.startswith("_")}
+        dev = shard_batch(data, mesh) if mesh is not None else jax.device_put(data)
+        return dev, host
+
+    for batch in batches:
+        queue.append(put(batch))
+        if len(queue) > depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 class Prefetcher:
     """Background-thread prefetch of an iterable of batches."""
 

@@ -32,7 +32,7 @@ from evoke_tpu.core.checkpoint import CheckpointManager
 from evoke_tpu.core.config import EvokeConfig
 from evoke_tpu.core.loggers import MetricWriter, PredictionCSV, RunLogger, append_best_record
 from evoke_tpu.core.mesh import shard_batch
-from evoke_tpu.data.batching import Prefetcher
+from evoke_tpu.data.batching import Prefetcher, device_prefetch
 from evoke_tpu.train.optim import build_scheduler, set_lr_scale
 from evoke_tpu.train.steps import (TrainState, make_eval_step, make_generate_step,
                                    make_train_step)
@@ -203,8 +203,9 @@ class PretrainTrainer(BaseTrainer):
 
     def _run_split(self, loader) -> Dict[str, float]:
         sums, n = defaultdict(float), 0
-        for batch in Prefetcher(loader, self.cfg.data.prefetch):
-            out = self.eval_step(self.state, self._shard(batch))
+        for batch, _ in device_prefetch(Prefetcher(loader, self.cfg.data.prefetch),
+                                        self.mesh, self.cfg.data.prefetch):
+            out = self.eval_step(self.state, batch)
             for k, v in out.items():
                 sums[k] += float(v)
             n += 1
@@ -212,8 +213,10 @@ class PretrainTrainer(BaseTrainer):
 
     def _train_epoch(self, epoch: int) -> Dict[str, float]:
         sums, n = defaultdict(float), 0
-        for i, batch in enumerate(Prefetcher(self.loaders["train"], self.cfg.data.prefetch)):
-            self.state, metrics = self.train_step(self.state, self._shard(batch))
+        for i, (batch, _) in enumerate(device_prefetch(
+                Prefetcher(self.loaders["train"], self.cfg.data.prefetch),
+                self.mesh, self.cfg.data.prefetch)):
+            self.state, metrics = self.train_step(self.state, batch)
             for k, v in metrics.items():
                 sums[k] += float(v)
             n += 1
@@ -257,8 +260,10 @@ class FinetuneTrainer(BaseTrainer):
                              (self.train_loaders[1], self.step_noinc)):
             if loader is None:
                 continue
-            for i, batch in enumerate(Prefetcher(loader, self.cfg.data.prefetch)):
-                self.state, metrics = step(self.state, self._shard(batch))
+            for i, (batch, _) in enumerate(device_prefetch(
+                    Prefetcher(loader, self.cfg.data.prefetch),
+                    self.mesh, self.cfg.data.prefetch)):
+                self.state, metrics = step(self.state, batch)
                 for k, v in metrics.items():
                     sums[k] += float(v)
                 n += 1
@@ -276,11 +281,14 @@ class FinetuneTrainer(BaseTrainer):
         for loader, gen in zip(self.eval_loaders[split], (self.gen_inc, self.gen_noinc)):
             if loader is None:
                 continue
-            for batch in Prefetcher(loader, self.cfg.data.prefetch):
-                seqs = gen(self.state, self._shard(batch))
+            for batch, host in device_prefetch(
+                    Prefetcher(loader, self.cfg.data.prefetch),
+                    self.mesh, self.cfg.data.prefetch):
+                seqs = gen(self.state, batch)
                 texts = self.tokenizer.decode_batch(np.asarray(seqs).tolist())
-                for iid, gt, pred, ok in zip(batch["_image_ids"], batch["_gts"], texts,
-                                             batch["valid"][: len(texts)]):
+                valid_host = np.asarray(batch["valid"])
+                for iid, gt, pred, ok in zip(host["_image_ids"], host["_gts"], texts,
+                                             valid_host[: len(texts)]):
                     if not ok:
                         continue
                     # the reference substitutes a canned line for empty outputs (:125)
