@@ -139,6 +139,104 @@ def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, p
     return BeamResult(done_seq, done_score, alive_logp)
 
 
+def diverse_beam_search(step: StepFn, state0_per_group, batch: int, *, bos_id: int,
+                        eos_id: int, pad_id: int, vocab_size: int, beam_size: int,
+                        group_size: int, max_len: int = 100,
+                        diversity_lambda: float = 0.5,
+                        length_penalty: str = "") -> BeamResult:
+    """Diverse beam search (caption_model.py:26-202 with group_size > 1).
+
+    The beam is split into ``group_size`` groups of bdash = beam_size//group_size
+    beams. Groups run staggered in time; at each step, group g's log-probs are
+    penalized by diversity_lambda for every earlier group's beam that chose the
+    same token at the same LOCAL time (add_diversity, caption_model.py:29-48).
+    ``state0_per_group`` is a list of decode states, each sized batch * bdash.
+
+    Implemented as ONE lax.scan over global time; groups are processed in order
+    inside the step so group g reads the already-advanced tables of groups < g,
+    exactly like the reference's in-loop ordering.
+    """
+    g = group_size
+    bdash = beam_size // g
+    assert bdash * g == beam_size, "beam_size must divide by group_size"
+    n = batch * bdash
+    lp = penalty_fn(length_penalty)
+
+    def empty_group_carry(state0):
+        return {
+            "tok": jnp.full((n,), bos_id, jnp.int32),
+            "dec": state0,
+            "alive": jnp.zeros((batch, bdash), jnp.float32),
+            "seq": jnp.full((batch, bdash, max_len), pad_id, jnp.int32),
+            "done_seq": jnp.full((batch, bdash, max_len), pad_id, jnp.int32),
+            "done_score": jnp.full((batch, bdash), NEG_INF, jnp.float32),
+        }
+
+    def group_step(carry, t_local, penalty):
+        """One beam step for one group at its local time (penalty: [B, V])."""
+        logp, dec = step(carry["tok"], t_local, carry["dec"])
+        logp = logp.reshape(batch, bdash, vocab_size)
+        logp = logp - penalty[:, None, :] * diversity_lambda
+        cand = carry["alive"][:, :, None] + logp
+        cand = jnp.where((t_local == 0) & (jnp.arange(bdash)[None, :, None] > 0),
+                         NEG_INF, cand)
+        scores, idx = jax.lax.top_k(cand.reshape(batch, bdash * vocab_size), bdash)
+        beam_idx = idx // vocab_size
+        tok_idx = idx % vocab_size
+        seq = jnp.take_along_axis(carry["seq"], beam_idx[:, :, None], axis=1)
+        seq = jax.lax.dynamic_update_index_in_dim(seq, tok_idx, t_local, axis=2)
+        dec = _gather_beams(dec, beam_idx, batch, bdash)
+        finished = (tok_idx == eos_id) | (t_local == max_len - 1)
+        fin_score = jnp.where(finished, lp(jnp.float32(t_local + 1), scores), NEG_INF)
+        all_scores = jnp.concatenate([carry["done_score"], fin_score], axis=1)
+        all_seqs = jnp.concatenate([carry["done_seq"], seq], axis=1)
+        top_scores, top_idx = jax.lax.top_k(all_scores, bdash)
+        return {
+            "tok": tok_idx.reshape(n),
+            "dec": dec,
+            "alive": scores - 1000.0 * finished.astype(jnp.float32),
+            "seq": seq,
+            "done_seq": jnp.take_along_axis(all_seqs, top_idx[:, :, None], axis=1),
+            "done_score": top_scores,
+        }
+
+    def scan_body(carries, t):
+        new_carries = []
+        for divm in range(g):
+            carry = carries[divm]
+            t_local = t - divm
+            # diversity penalty: count earlier groups' choices at this local time
+            penalty = jnp.zeros((batch, vocab_size), jnp.float32)
+            for prev in range(divm):
+                prev_seq = new_carries[prev]["seq"]  # already advanced this outer step
+                chosen = jax.lax.dynamic_index_in_dim(prev_seq, jnp.maximum(t_local, 0),
+                                                      axis=2, keepdims=False)  # [B, bdash]
+                onehot = jax.nn.one_hot(chosen, vocab_size, dtype=jnp.float32)
+                penalty = penalty + onehot.sum(axis=1)
+            active = (t >= divm) & (t <= max_len + divm - 1)
+            stepped = group_step(carry, jnp.maximum(t_local, 0), penalty)
+            carry = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(active, new, old), stepped, carry)
+            new_carries.append(carry)
+        return new_carries, None
+
+    init = [empty_group_carry(s0) for s0 in state0_per_group]
+    carries, _ = jax.lax.scan(scan_body, init, jnp.arange(max_len + g - 1))
+
+    # merge all groups' done beams, best-first (done_beams_table sum, :196-199)
+    seqs = jnp.concatenate([c["done_seq"] for c in carries], axis=1)
+    scores = jnp.concatenate([c["done_score"] for c in carries], axis=1)
+    order = jnp.argsort(-scores, axis=1)
+    seqs = jnp.take_along_axis(seqs, order[:, :, None], axis=1)
+    scores = jnp.take_along_axis(scores, order, axis=1)
+    pos = jnp.arange(max_len)[None, None, :]
+    is_eos = seqs == eos_id
+    first_eos = jnp.where(is_eos.any(-1), jnp.argmax(is_eos, axis=-1), max_len)
+    seqs = jnp.where(pos > first_eos[:, :, None], pad_id, seqs)
+    alive = jnp.concatenate([c["alive"] for c in carries], axis=1)
+    return BeamResult(seqs, scores, alive)
+
+
 def _trigram_penalty(seq: jnp.ndarray, t, vocab_size: int, alpha: float = 2.0) -> jnp.ndarray:
     """Penalty over vocab for step t given generated prefix seq [N, L].
 

@@ -19,7 +19,7 @@ from flax import struct
 from flax.core import FrozenDict
 
 from evoke_tpu.core import prng
-from evoke_tpu.decode.beam import beam_search, greedy_sample
+from evoke_tpu.decode.beam import beam_search, diverse_beam_search, greedy_sample
 
 
 class TrainState(struct.PyTreeNode):
@@ -110,6 +110,24 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
         enc, att_mask = model.apply(variables, batch["images"], batch["pids"], batch["valid"],
                                     b, *inc, method=model.encode_for_decode)
         if beam > 1 and decode_cfg.sample_method in ("greedy", "beam_search"):
+            groups = max(int(decode_cfg.group_size), 1)
+            if groups > 1:
+                bdash = beam // groups
+                enc_g = _expand_for_beams(enc, bdash)
+                mask_g = _expand_for_beams(att_mask, bdash)
+
+                def step_g(tok, pos, dstate):
+                    return model.apply(variables, tok, pos, dstate, mask_g,
+                                       method=model.decode_step)
+
+                states = [model.apply(variables, enc_g, b * bdash, max_seq_len,
+                                      method=model.init_decode_state)
+                          for _ in range(groups)]
+                res = diverse_beam_search(
+                    step_g, states, b, beam_size=beam, group_size=groups,
+                    diversity_lambda=decode_cfg.diversity_lambda,
+                    length_penalty=decode_cfg.length_penalty, **common)
+                return res.seqs[:, 0, :]
             enc_b = _expand_for_beams(enc, beam)
             mask_b = _expand_for_beams(att_mask, beam)
             state0 = model.apply(variables, enc_b, b * beam, max_seq_len,

@@ -186,3 +186,92 @@ class TestGreedy:
                                    vocab_size=V, max_len=L, sample_method=method,
                                    block_trigrams=False, rng=jax.random.key(7), **kw)
             assert seq.shape == (batch, L)
+
+
+def reference_diverse_beam(M, batch, beam, groups, L, diversity_lambda=0.5):
+    """Literal numpy port of caption_model.beam_search with group_size > 1."""
+    bdash = beam // groups
+    outs = []
+    for b in range(batch):
+        # per-group state
+        seqs = [np.zeros((1, 0), np.int64) for _ in range(groups)]
+        sums = [np.zeros((1,)) for _ in range(groups)]
+        counts = [np.zeros((1, V), np.float32) for _ in range(groups)]
+        logprobs = [np_logp(M, np.array([BOS]), counts[g]) for g in range(groups)]
+        done = [[] for _ in range(groups)]
+        for t in range(L + groups - 1):
+            for divm in range(groups):
+                if not (divm <= t <= L + divm - 1):
+                    continue
+                local_time = t - divm
+                lg = logprobs[divm].copy()
+                # add_diversity from earlier groups' current tables
+                change = np.zeros(V, np.float32)
+                for prev in range(divm):
+                    for tok in seqs[prev][:, local_time]:
+                        change[tok] += 1
+                lg = lg - change[None, :] * diversity_lambda
+                cand = sums[divm][:, None] + lg
+                flat = cand.reshape(-1)
+                order = np.argsort(-flat, kind="stable")[:bdash]
+                beam_ix, tok_ix = order // V, order % V
+                seqs[divm] = np.concatenate([seqs[divm][beam_ix], tok_ix[:, None]], 1)
+                # the reference keeps the AUGMENTED sums (beam_step asserts
+                # beam_logprobs_sum == sorted candidate scores)
+                sums[divm] = flat[order]
+                counts[divm] = counts[divm][beam_ix].copy()
+                is_end = tok_ix == EOS
+                if t == L + divm - 1:
+                    is_end[:] = True
+                for vix in range(len(tok_ix)):
+                    if is_end[vix]:
+                        done[divm].append({"seq": seqs[divm][vix].copy(),
+                                           "p": float(sums[divm][vix])})
+                sums[divm] = sums[divm] - 1000.0 * is_end
+                for vix in range(len(tok_ix)):
+                    counts[divm][vix, tok_ix[vix]] += 1.0
+                logprobs[divm] = np_logp(M, tok_ix, counts[divm])
+        merged = sorted(sum(done, []), key=lambda d: -d["p"])
+        outs.append(merged[0])
+    return outs
+
+
+class TestDiverseBeam:
+    def test_matches_reference_two_groups(self):
+        from evoke_tpu.decode.beam import diverse_beam_search
+
+        M = make_tables(5)
+        batch, beam, groups, L = 2, 4, 2, 7
+        bdash = beam // groups
+        step = jax_step(M)
+        states = [{"counts": jnp.zeros((batch * bdash, V), jnp.float32)}
+                  for _ in range(groups)]
+        res = jax.jit(lambda ss: diverse_beam_search(
+            step, ss, batch, bos_id=BOS, eos_id=EOS, pad_id=PAD, vocab_size=V,
+            beam_size=beam, group_size=groups, max_len=L))(states)
+        ref = reference_diverse_beam(M, batch, beam, groups, L)
+        for b in range(batch):
+            got = np.asarray(res.seqs[b, 0])
+            want = ref[b]["seq"]
+            np.testing.assert_array_equal(got[: len(want)], want,
+                                          err_msg=f"b={b} got {got} want {want}")
+
+    def test_groups_diverge(self):
+        """With a strong diversity penalty, groups pick different tokens."""
+        from evoke_tpu.decode.beam import diverse_beam_search
+
+        M = np.full((V, V), -1.0, np.float32)
+        M[:, 5] = 0.0
+        M[:, 6] = -0.1
+        M[:, EOS] = -8.0
+        M = M - np.log(np.exp(M).sum(-1, keepdims=True))
+
+        def step(tok, pos, state):
+            return jnp.asarray(M)[tok], state
+
+        states = [{"d": jnp.zeros(())} for _ in range(2)]
+        res = diverse_beam_search(step, states, 1, bos_id=BOS, eos_id=EOS, pad_id=PAD,
+                                  vocab_size=V, beam_size=2, group_size=2, max_len=4,
+                                  diversity_lambda=5.0)
+        toks = set(np.asarray(res.seqs[0, :, 0]).tolist())
+        assert {5, 6} <= toks  # the second group was pushed off token 5

@@ -129,3 +129,12 @@ class TestAdapters:
         diff = bertscore(["no effusion ."], ["the heart is normal ."], d, num_layers=1)
         assert same > diff
         assert abs(same - 1.0) < 1e-5
+
+
+class TestReportStats:
+    def test_stats(self):
+        from evoke_tpu.tools.report_stats import report_stats
+        out = report_stats(["one two three .", "a b . c d ."])
+        assert out["n_reports"] == 2
+        assert out["tokens_mean"] == 5.0
+        assert out["sentences_mean"] == 1.5

@@ -145,3 +145,17 @@ class TestDPEquivalence:
         sharded = ev(state, sharded_batch)
         np.testing.assert_allclose(float(sharded["all_loss"]), float(single["all_loss"]),
                                    rtol=2e-5)
+
+
+class TestDiverseGenerate:
+    def test_group_size_two_generates(self, tok, batch):
+        model = FinetuneModel(vocab_size=tok.get_vocab_size(), max_seq_len=16, **DEC, **SMALL)
+        variables = jax.jit(model.init)(KEY, batch["images"], batch["ids"], batch["mask"],
+                                        batch["pids"], batch["valid"])
+        tx = build_optimizer("RAdam", "finetune", variables["params"],
+                             pt_lr=1e-3, ft_lr=1e-3, weight_decay=0.0)
+        state = create_train_state(variables, tx)
+        gen = make_generate_step(model, tok, DecodeConfig(beam_size=4, group_size=2,
+                                                          diversity_lambda=0.5), 16)
+        seqs = gen(state, batch)
+        assert seqs.shape == (8, 16)
