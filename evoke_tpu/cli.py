@@ -116,20 +116,11 @@ def init_pretrain_state(cfg, model, loaders):
 
 
 def metrics_fn_for(cfg):
-    """NLG always; CE metrics only when their checkpoints are configured."""
-    from evoke_tpu.evals.nlg import compute_nlg_scores
+    """NLG always; CE metrics only when their checkpoints/deps are available."""
+    from evoke_tpu.evals.composite import compute_all_scores
 
     def fn(gts: Dict[str, List[str]], res: Dict[str, List[str]]) -> Dict[str, float]:
-        out = compute_nlg_scores(gts, res)
-        if cfg.metrics.chexbert_checkpoint and os.path.exists(cfg.metrics.chexbert_checkpoint):
-            try:
-                from evoke_tpu.evals.chexbert import compute_chexbert_scores
-                out.update(compute_chexbert_scores(
-                    [g[0] for g in gts.values()], [r[0] for r in res.values()],
-                    cfg.metrics.chexbert_checkpoint))
-            except Exception as e:  # CE metrics are off the hot path; degrade loudly
-                print(f"[metrics] CheXbert scoring failed: {e}", file=sys.stderr)
-        return out
+        return compute_all_scores(gts, res, cfg.metrics)
 
     return fn
 

@@ -157,8 +157,10 @@ class TrainerConfig:
 class MetricsConfig:
     chexbert_checkpoint: str = ""
     chexbert_model_checkpoint: str = ""
+    chexbert_tokenizer_checkpoint: str = ""
     radgraph_checkpoint: str = ""
     bertscore_checkpoint: str = ""
+    green_checkpoint: str = ""
     radgraph_reward_level: str = "partial"
 
 

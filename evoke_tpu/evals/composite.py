@@ -1,0 +1,73 @@
+"""Aggregate scoring surface (EVOKE modules/metrics/metrics.py:87 parity).
+
+``compute_all_scores(gts, res, cfg)`` = NLG metrics (always, pure Python) +
+every clinical-efficacy metric whose dependency/checkpoint is configured and
+available. Scorers are constructed ONCE per process and reused (the reference
+re-instantiates CheXbert+RadGraph every eval epoch — metrics.py:59-70).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Dict, List, Optional, Union
+
+from evoke_tpu.evals.nlg import compute_nlg_scores
+
+_SCORER_CACHE: Dict[str, object] = {}
+
+
+def compute_ce_scores(gts: List[str], res: List[str], metrics_cfg) -> Dict[str, float]:
+    """CheXbert + RadGraph (+BERTScore when configured); degrades per-metric, loudly."""
+    out: Dict[str, float] = {}
+    ck = metrics_cfg.chexbert_checkpoint
+    if ck and os.path.exists(ck):
+        try:
+            from evoke_tpu.evals.chexbert import F1CheXbert
+            key = f"chexbert:{ck}"
+            if key not in _SCORER_CACHE:
+                tok_dir = metrics_cfg.chexbert_tokenizer_checkpoint if hasattr(
+                    metrics_cfg, "chexbert_tokenizer_checkpoint") else os.path.dirname(ck)
+                _SCORER_CACHE[key] = F1CheXbert(ck, tok_dir or os.path.dirname(ck))
+            scorer = _SCORER_CACHE[key]
+            _, _, cr, cr5 = scorer(hyps=res, refs=gts)
+            out["chexbert_5_micro_f1"] = cr5["micro avg"]["f1-score"]
+            out["chexbert_all_micro_f1"] = cr["micro avg"]["f1-score"]
+            out["chexbert_5_macro_f1"] = cr5["macro avg"]["f1-score"]
+            out["chexbert_all_macro_f1"] = cr["macro avg"]["f1-score"]
+        except Exception as e:
+            print(f"[metrics] CheXbert failed: {e}", file=sys.stderr)
+    rk = metrics_cfg.radgraph_checkpoint
+    if rk:
+        try:
+            from evoke_tpu.evals.adapters import F1RadGraphAdapter
+            key = f"radgraph:{rk}"
+            if key not in _SCORER_CACHE:
+                _SCORER_CACHE[key] = F1RadGraphAdapter(
+                    rk, reward_level=metrics_cfg.radgraph_reward_level)
+            mean_reward, _ = _SCORER_CACHE[key](hyps=res, refs=gts)
+            out["F1-Radgraph-" + metrics_cfg.radgraph_reward_level] = mean_reward
+        except Exception as e:
+            print(f"[metrics] RadGraph unavailable: {e}", file=sys.stderr)
+    bk = metrics_cfg.bertscore_checkpoint
+    if bk and os.path.exists(bk):
+        try:
+            from evoke_tpu.evals.adapters import bertscore
+            out["BERTScore"] = bertscore(res, gts, bk)
+        except Exception as e:
+            print(f"[metrics] BERTScore failed: {e}", file=sys.stderr)
+    return out
+
+
+def compute_all_scores(gts: Union[Dict[str, List[str]], List[str]],
+                       res: Union[Dict[str, List[str]], List[str]],
+                       metrics_cfg=None) -> Dict[str, float]:
+    if isinstance(gts, dict):
+        gts_list = [v[0] for v in gts.values()]
+        res_list = [res[k][0] for k in gts]
+    else:
+        gts_list, res_list = list(gts), list(res)
+    out = compute_nlg_scores(gts, res)
+    if metrics_cfg is not None:
+        out.update(compute_ce_scores(gts_list, res_list, metrics_cfg))
+    return out

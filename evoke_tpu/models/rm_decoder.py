@@ -36,6 +36,8 @@ class RelationalMemory(nn.Module):
     d_model: int
     num_heads: int = 8
     attn_dropout: float = 0.1  # the reference's MHA default applies inside RM
+    unroll: int = 10           # scan unrolling: the per-step math is tiny (S=3 slots),
+                               # so the 100-step roll is latency-bound without it
 
     def setup(self):
         self.attn = MultiHeadAttention(self.num_heads, self.d_model, self.attn_dropout)
@@ -78,7 +80,7 @@ class RelationalMemory(nn.Module):
         scan = nn.scan(body, variable_broadcast="params",
                        variable_axes={"intermediates": 1},
                        split_rngs={"params": False, "dropout": not deterministic},
-                       in_axes=1, out_axes=1)
+                       in_axes=1, out_axes=1, unroll=self.unroll)
         _, outs = scan(self, init, xs)
         return outs
 

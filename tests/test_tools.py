@@ -138,3 +138,15 @@ class TestReportStats:
         assert out["n_reports"] == 2
         assert out["tokens_mean"] == 5.0
         assert out["sentences_mean"] == 1.5
+
+
+class TestComposite:
+    def test_compute_all_scores_nlg_only(self):
+        from evoke_tpu.core.config import MetricsConfig
+        from evoke_tpu.evals.composite import compute_all_scores
+        gts = ["the heart is normal .", "no effusion ."]
+        res = ["the heart is normal .", "small effusion ."]
+        out = compute_all_scores(gts, res, MetricsConfig())
+        assert "BLEU_4" in out and "CIDer" in out
+        # no CE checkpoints configured -> only NLG keys, no crash
+        assert not any(k.startswith("chexbert") for k in out)
