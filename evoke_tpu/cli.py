@@ -54,13 +54,14 @@ def build_loaders(cfg, tokenizer, ann, task: str):
     from evoke_tpu.data.transforms import make_transform
 
     size = cfg.model.image_size
+    u8 = cfg.data.images_uint8
     n_anchor = cfg.data.batch_size
     common = dict(n_anchor=n_anchor, max_seq_len=cfg.data.max_seq_len,
                   image_dir=cfg.data.image_dir, num_workers=cfg.data.num_workers)
     if task == "pretrain":
         mk = lambda split, train: MultiviewBatcher(
             parse_pretrain(ann, split, cfg.data.align_type),
-            tokenizer, make_transform(size, train), shuffle=train,
+            tokenizer, make_transform(size, train, output_uint8=u8), shuffle=train,
             multiview=cfg.model.is_multiview_learning, **common)
         return {"train": mk("train", True), "val": mk("val", False),
                 "test": mk("test", False)}
@@ -68,7 +69,7 @@ def build_loaders(cfg, tokenizer, ann, task: str):
     for split in ("train", "val", "test"):
         has_ind, no_ind = parse_finetune(ann, split)
         train = split == "train" and task == "finetune"
-        tf = make_transform(size, train)
+        tf = make_transform(size, train, output_uint8=u8)
         mk = lambda exs, with_ind: (MultiviewBatcher(
             exs, tokenizer, tf, shuffle=train, with_indication=with_ind,
             text_field="report", add_bos_eos=True,
@@ -233,9 +234,12 @@ def _retrieve(cfg, model, tokenizer, ann, loaders) -> int:
         state = state.replace(params=merged)
         print(f"loaded stage-1 weights: {report}")
 
+    from evoke_tpu.train.steps import maybe_normalize_images
+
     @jax.jit
     def encode(batch):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        batch = maybe_normalize_images(batch)
         n_anchor = batch["ids"].shape[0]
         proj, _ = model.apply(variables, batch["images"], batch["pids"], batch["valid"],
                               n_anchor, train=False, method=model.encode_images)

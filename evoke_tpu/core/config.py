@@ -114,6 +114,7 @@ class DataConfig:
     max_views: int = 4                           # static cap on views per study (pad/truncate)
     num_workers: int = 8
     prefetch: int = 2
+    images_uint8: bool = True                    # ship uint8, normalize on device (4x less transfer)
 
 
 @dataclass

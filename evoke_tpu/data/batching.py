@@ -71,7 +71,8 @@ class MultiviewBatcher:
         n_a, n_x = self.n_anchor, self.n_aux
         total = n_a + n_x
         s = self.transform.image_size
-        images = np.zeros((total, s, s, 3), np.float32)
+        img_dtype = np.uint8 if getattr(self.transform, "output_uint8", False) else np.float32
+        images = np.zeros((total, s, s, 3), img_dtype)
         pids = np.arange(total, dtype=np.int32) * -1 - 1  # unique negatives by default
         valid = np.zeros(total, bool)
         ids = np.zeros((n_a, self.max_seq_len), np.int32)

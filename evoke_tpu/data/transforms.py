@@ -48,16 +48,25 @@ def _normalize(x: np.ndarray) -> np.ndarray:
 
 @dataclass
 class ImageTransform:
-    """train/eval transform for a given resolution (224 or 384)."""
+    """train/eval transform for a given resolution (224 or 384).
+
+    output_uint8=True skips normalization and emits uint8 HWC — 4x less
+    host->device transfer; pair with steps.normalize_images_on_device (the
+    (x/255 - mean)/std runs on the chip instead).
+    """
 
     image_size: int = 224
     train: bool = True
+    output_uint8: bool = False
 
     def __call__(self, img, rng: Optional[np.random.Generator] = None) -> np.ndarray:
         if isinstance(img, np.ndarray):
             # synthetic float arrays: resize via simple crop/pad, skip PIL
             x = img.astype(np.float32)
             x = _center_crop_or_pad(x, self.image_size)
+            if self.output_uint8:
+                x = np.clip((x * IMAGENET_STD + IMAGENET_MEAN) * 255.0, 0, 255)
+                return x.astype(np.uint8)
             return x
         rng = rng or np.random.default_rng()
         s = self.image_size
@@ -78,6 +87,8 @@ class ImageTransform:
             else:
                 img = _resize_short(img, 448)
                 img = _center_crop(img, s)
+        if self.output_uint8:
+            return np.asarray(img, np.uint8)
         return _normalize(_to_float(img))
 
 
@@ -110,5 +121,6 @@ def _center_crop_or_pad(x: np.ndarray, size: int) -> np.ndarray:
     return out
 
 
-def make_transform(image_size: int, train: bool) -> ImageTransform:
-    return ImageTransform(image_size=image_size, train=train)
+def make_transform(image_size: int, train: bool, output_uint8: bool = False
+                   ) -> ImageTransform:
+    return ImageTransform(image_size=image_size, train=train, output_uint8=output_uint8)

@@ -29,6 +29,24 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
+_IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+_IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+
+def maybe_normalize_images(batch):
+    """uint8 images -> ImageNet-normalized float32, ON DEVICE.
+
+    Pairs with ImageTransform(output_uint8=True): the host ships 4x less data
+    (uint8 HWC) and the (x/255 - mean)/std runs on the chip.
+    """
+    images = batch["images"]
+    if images.dtype == jnp.uint8:
+        x = images.astype(jnp.float32) / 255.0
+        batch = dict(batch)
+        batch["images"] = (x - _IMAGENET_MEAN) / _IMAGENET_STD
+    return batch
+
+
 def create_train_state(variables, tx) -> Tuple[TrainState, Any]:
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
@@ -46,6 +64,7 @@ def make_train_step(model, tx, root_key, loss_key: str = "all_loss",
 
     def loss_fn(params, batch_stats, batch, dropout_rng):
         variables = {"params": params, "batch_stats": batch_stats}
+        batch = maybe_normalize_images(batch)
         args = [batch["images"], batch["ids"], batch["mask"], batch["pids"], batch["valid"]]
         if with_indication:
             args += [batch["inc_ids"], batch["inc_mask"]]
@@ -73,6 +92,7 @@ def make_eval_step(model, loss_key: str = "all_loss", with_indication: bool = Fa
     @jax.jit
     def eval_step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        batch = maybe_normalize_images(batch)
         args = [batch["images"], batch["ids"], batch["mask"], batch["pids"], batch["valid"]]
         if with_indication:
             args += [batch["inc_ids"], batch["inc_mask"]]
@@ -105,6 +125,7 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
     @jax.jit
     def generate_step(state: TrainState, batch):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        batch = maybe_normalize_images(batch)
         b = batch["ids"].shape[0]  # n_anchor: one report per study anchor
         inc = [batch["inc_ids"], batch["inc_mask"]] if with_indication else []
         enc, att_mask = model.apply(variables, batch["images"], batch["pids"], batch["valid"],

@@ -140,3 +140,27 @@ class TestTransforms:
         img = Image.new("RGB", (224, 224), (124, 116, 104))  # ~ImageNet mean
         out = make_transform(224, train=False)(img)
         assert abs(float(out.mean())) < 0.05
+
+
+class TestUint8Path:
+    def test_uint8_transform_and_device_normalize(self, dataset):
+        import jax.numpy as jnp
+        from evoke_tpu.train.steps import maybe_normalize_images
+        from PIL import Image
+        img = Image.new("RGB", (300, 200), (124, 116, 104))
+        tf8 = make_transform(224, train=False, output_uint8=True)
+        tff = make_transform(224, train=False)
+        u8 = tf8(img)
+        assert u8.dtype == np.uint8
+        batch = {"images": jnp.asarray(u8[None])}
+        normed = maybe_normalize_images(batch)["images"]
+        want = tff(img)[None]
+        np.testing.assert_allclose(np.asarray(normed), want, atol=1e-5)
+
+    def test_batcher_emits_uint8(self, dataset):
+        root, ann, tok = dataset
+        exs = parse_pretrain(ann, "train")
+        b = MultiviewBatcher(exs, tok, make_transform(48, train=False, output_uint8=True),
+                             n_anchor=4, max_seq_len=16, image_dir=root)
+        batch = next(iter(b))
+        assert batch["images"].dtype == np.uint8
