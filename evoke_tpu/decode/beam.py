@@ -74,18 +74,26 @@ def _gather_beams(tree, beam_idx, batch: int, beam: int):
 def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, pad_id: int,
                 vocab_size: int, beam_size: int = 3, max_len: int = 100,
                 length_penalty: str = "", suppress_ids: Tuple[int, ...] = (),
-                decoding_constraint: bool = False) -> BeamResult:
+                decoding_constraint: bool = False, early_stop: bool = True) -> BeamResult:
     """Batched beam search over a KV-cached step function.
 
     ``state0`` must already be sized for N = batch * beam_size rows (broadcast
     your per-sample encodings beam_size times before building it).
+
+    early_stop=True runs a bounded while_loop that exits once every beam of
+    every sample has finished (emitted EOS). With the default identity length
+    penalty this is output-identical to the full max_len scan (knocked-down
+    zombie beams score ~-1000 and cannot re-enter the done buffer); under
+    wu_/avg_ penalties a pathological zombie could theoretically re-rank, so
+    pass early_stop=False for bit-parity there. Real reports finish in ~60 of
+    100 steps, so decode latency tracks actual lengths.
     """
     k = beam_size
     n = batch * k
     lp = penalty_fn(length_penalty)
 
     def scan_body(carry, t):
-        (tok, dec_state, alive_logp, seq, done_seq, done_score) = carry
+        (tok, dec_state, alive_logp, seq, done_seq, done_score, ever_finished) = carry
         logp, dec_state = step(tok, t, dec_state)            # [N, V]
         for sid in suppress_ids:
             logp = logp.at[:, sid].add(-1000.0)
@@ -118,7 +126,10 @@ def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, p
         done_score = top_scores
 
         alive_logp = scores - 1000.0 * finished.astype(jnp.float32)
-        return (tok_idx.reshape(n), dec_state, alive_logp, seq, done_seq, done_score), None
+        # a beam lineage counts as finished once any ancestor emitted EOS
+        ever_finished = jnp.take_along_axis(ever_finished, beam_idx, axis=1) | finished
+        return (tok_idx.reshape(n), dec_state, alive_logp, seq, done_seq, done_score,
+                ever_finished), None
 
     init = (
         jnp.full((n,), bos_id, jnp.int32),
@@ -127,9 +138,23 @@ def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, p
         jnp.full((batch, k, max_len), pad_id, jnp.int32),
         jnp.full((batch, k, max_len), pad_id, jnp.int32),
         jnp.full((batch, k), NEG_INF, jnp.float32),
+        jnp.zeros((batch, k), bool),
     )
-    (tok, dec_state, alive_logp, seq, done_seq, done_score), _ = jax.lax.scan(
-        scan_body, init, jnp.arange(max_len))
+    if early_stop:
+        def cond(loop_state):
+            t, carry = loop_state
+            return (t < max_len) & ~jnp.all(carry[6])
+
+        def body(loop_state):
+            t, carry = loop_state
+            carry, _ = scan_body(carry, t)
+            return t + 1, carry
+
+        _, (tok, dec_state, alive_logp, seq, done_seq, done_score, _ever) = \
+            jax.lax.while_loop(cond, body, (jnp.int32(0), init))
+    else:
+        (tok, dec_state, alive_logp, seq, done_seq, done_score, _ever), _ = jax.lax.scan(
+            scan_body, init, jnp.arange(max_len))
 
     # zero out everything after (and excluding nothing) — tokens after EOS become PAD
     pos = jnp.arange(max_len)[None, None, :]
@@ -310,6 +335,18 @@ def greedy_sample(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int,
         jnp.zeros((batch,), jnp.float32),
         rng,
     )
-    (tok, dec_state, unfinished, seq, logp_sum, _), _ = jax.lax.scan(
-        scan_body, init, jnp.arange(max_len))
+
+    # early exit when every row has emitted EOS (the reference breaks there too,
+    # att_model.py:227-229) — exact parity, latency tracks actual lengths.
+    def cond(loop_state):
+        t, carry = loop_state
+        return (t < max_len) & jnp.any(carry[2])
+
+    def body(loop_state):
+        t, carry = loop_state
+        carry, _ = scan_body(carry, t)
+        return t + 1, carry
+
+    _, (tok, dec_state, unfinished, seq, logp_sum, _) = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), init))
     return seq, logp_sum

@@ -275,3 +275,34 @@ class TestDiverseBeam:
                                   diversity_lambda=5.0)
         toks = set(np.asarray(res.seqs[0, :, 0]).tolist())
         assert {5, 6} <= toks  # the second group was pushed off token 5
+
+
+class TestEarlyStop:
+    def test_early_stop_matches_full_scan(self):
+        """A model that strongly favors EOS after a few tokens: while-loop early
+        exit must produce the same output as the full-length scan."""
+        M = make_tables(9)
+        M[:, EOS] += 3.0  # EOS becomes likely quickly
+        M = M - np.log(np.exp(M).sum(-1, keepdims=True))
+        batch, k, L = 3, 3, 12
+        step = jax_step(M)
+        s0 = {"counts": jnp.zeros((batch * k, V), jnp.float32)}
+        kw = dict(bos_id=BOS, eos_id=EOS, pad_id=PAD, vocab_size=V,
+                  beam_size=k, max_len=L)
+        fast = beam_search(step, s0, batch, early_stop=True, **kw)
+        slow = beam_search(step, s0, batch, early_stop=False, **kw)
+        np.testing.assert_array_equal(np.asarray(fast.seqs), np.asarray(slow.seqs))
+        np.testing.assert_allclose(np.asarray(fast.scores), np.asarray(slow.scores),
+                                   rtol=1e-5)
+
+    def test_greedy_early_exit_matches_reference(self):
+        M = make_tables(9)
+        M[:, EOS] += 3.0
+        M = M - np.log(np.exp(M).sum(-1, keepdims=True))
+        batch, L = 4, 12
+        step = jax_step(M)
+        s0 = {"counts": jnp.zeros((batch, V), jnp.float32)}
+        seq, _ = greedy_sample(step, s0, batch, bos_id=BOS, eos_id=EOS, pad_id=PAD,
+                               vocab_size=V, max_len=L, block_trigrams=True)
+        want = reference_greedy(M, batch, L, block_trigrams=True)
+        np.testing.assert_array_equal(np.asarray(seq), want)
