@@ -124,12 +124,44 @@ class GreenAdapter:
 
     @staticmethod
     def make_prompt(ref: str, hyp: str) -> str:
-        return ("Objective: Evaluate the accuracy of a candidate radiology report in "
-                "comparison to a reference radiology report composed by expert "
-                f"radiologists.\n\nReference report: {ref}\n\nCandidate report: {hyp}\n\n"
-                "Process Overview: You will be presented with:\n1. The criteria for "
-                "making a judgment.\n2. The reference radiology report.\n3. The "
-                "candidate radiology report.")
+        """The GREEN judging prompt (green_score/utils.py:189 contract): six error
+        categories (a)-(f), significant/insignificant sections, matched findings."""
+        return (
+            "Objective: Evaluate the accuracy of a candidate radiology report in "
+            "comparison to a reference radiology report composed by expert "
+            "radiologists.\n\n    Process Overview: You will be presented with:\n\n"
+            "    1. The criteria for making a judgment.\n"
+            "    2. The reference radiology report.\n"
+            "    3. The candidate radiology report.\n"
+            "    4. The desired format for your assessment.\n\n"
+            "    1. Criteria for Judgment:\n\n    For each candidate report, determine:\n\n"
+            "    The count of clinically significant errors.\n"
+            "    The count of clinically insignificant errors.\n\n"
+            "    Errors can fall into one of these categories:\n\n"
+            "    a) False report of a finding in the candidate.\n"
+            "    b) Missing a finding present in the reference.\n"
+            "    c) Misidentification of a finding's anatomic location/position.\n"
+            "    d) Misassessment of the severity of a finding.\n"
+            "    e) Mentioning a comparison that isn't in the reference.\n"
+            "    f) Omitting a comparison detailing a change from a prior study.\n"
+            "    Note: Concentrate on the clinical findings rather than the report's "
+            "writing style. Evaluate only the findings that appear in both reports.\n\n"
+            f"    2. Reference Report:\n    {ref}\n\n"
+            f"    3. Candidate Report:\n    {hyp}\n\n"
+            "    4. Reporting Your Assessment:\n\n"
+            "    Follow this specific format for your output, even if no errors are "
+            "found:\n    ```\n    [Explanation]:\n    <Explanation>\n\n"
+            "    [Clinically Significant Errors]:\n"
+            "    (a) <Error Type>: <The number of errors>. <Error 1>; <Error 2>; ...; "
+            "<Error n>\n    ....\n"
+            "    (f) <Error Type>: <The number of errors>. <Error 1>; <Error 2>; ...; "
+            "<Error n>\n\n    [Clinically Insignificant Errors]:\n"
+            "    (a) <Error Type>: <The number of errors>. <Error 1>; <Error 2>; ...; "
+            "<Error n>\n    ....\n"
+            "    (f) <Error Type>: <The number of errors>. <Error 1>; <Error 2>; ...; "
+            "<Error n>\n\n    [Matched Findings]:\n"
+            "    <The number of matched findings>. <Finding 1>; <Finding 2>; ...; "
+            "<Finding n>\n    ```\n")
 
     def __call__(self, hyps: Sequence[str], refs: Sequence[str]) -> float:
         import torch
@@ -146,13 +178,17 @@ class GreenAdapter:
 
     @staticmethod
     def parse_green(response: str) -> float:
-        """Parse matched findings / significant errors into the GREEN score
-        (green_score/green.py:216-260 contract: green = m / (m + sum(errors)))."""
+        """Parse matched findings / clinically SIGNIFICANT errors into the GREEN
+        score (green_score/green.py:216-260: green = m / (m + sum(sig_errors));
+        insignificant errors do not count against the score)."""
         import re
 
-        m = re.search(r"Matched Findings:\s*(\d+)", response)
+        m = re.search(r"Matched Findings\]?:\s*(\d+)", response)
         matched = int(m.group(1)) if m else 0
-        errors = [int(x) for x in re.findall(r"\(\w\)\s*.*?:\s*(\d+)", response)]
+        sig_block = response
+        if "Clinically Insignificant Errors" in response:
+            sig_block = response.split("Clinically Insignificant Errors")[0]
+        errors = [int(x) for x in re.findall(r"\([a-f]\)\s*[^:]*:\s*(\d+)", sig_block)]
         sig = sum(errors)
         if matched + sig == 0:
             return 0.0

@@ -150,3 +150,15 @@ class TestComposite:
         assert "BLEU_4" in out and "CIDer" in out
         # no CE checkpoints configured -> only NLG keys, no crash
         assert not any(k.startswith("chexbert") for k in out)
+
+
+class TestGreenParseSections:
+    def test_insignificant_errors_ignored(self):
+        from evoke_tpu.evals.adapters import GreenAdapter
+        resp = ("[Clinically Significant Errors]:\n"
+                "(a) False report of a finding: 1. extra effusion\n"
+                "(b) Missing a finding: 0.\n"
+                "[Clinically Insignificant Errors]:\n"
+                "(a) False report of a finding: 5. styles\n"
+                "[Matched Findings]:\n3. heart; lungs; bones\n")
+        assert GreenAdapter.parse_green(resp) == 3 / 4  # 5 insignificant not counted
