@@ -152,6 +152,8 @@ class TrainerConfig:
     ft_lr_monitor_metric: str = "F1-Radgraph-partial"
     test_every: int = 5                          # pretrain: run test loop every N epochs
     log_interval: int = 100
+    profile_epoch: int = 0                       # >0: jax.profiler trace of that epoch
+    profile_dir: str = ""                        # trace output (default result_dir/profile)
 
 
 @dataclass

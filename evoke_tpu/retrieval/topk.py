@@ -128,3 +128,34 @@ def build_knowledge_annotation(ann_path: str, out_path: str, splits: Sequence[st
     with open(out_path, "w") as f:
         json.dump(ann, f)
     return out_path
+
+
+def retrieval_quality(ann: Dict[str, List[dict]], split: str,
+                      id_to_item: Dict[str, dict], topk: int = 5) -> Dict[str, float]:
+    """Re-score retrieved reports against each query's ground truth
+    (PretrainTestAnalysis parity, EVOKE modules/utils.py:611-721): mean BLEU-4
+    and ROUGE-L of the best and mean-of-top-k retrieved reports — a quality
+    check of the Stage-1 embedding space before committing to Stage 2."""
+    from evoke_tpu.evals.nlg import bleu, rouge_l
+
+    gts, best_res, all_pairs = {}, {}, []
+    for item in ann[split]:
+        sk = item.get("specific_knowledge") or {}
+        reports = [r for r in sk.get("reports", [])[:topk] if r]
+        if not reports or not item.get("report"):
+            continue
+        iid = str(item["id"])
+        gts[iid] = [item["report"]]
+        best_res[iid] = [reports[0]]
+        for r in reports:
+            all_pairs.append((item["report"], r))
+    if not gts:
+        return {"n_scored": 0.0}
+    b_best, _ = bleu(gts, best_res, 4)
+    r_best, _ = rouge_l(gts, best_res)
+    mean_gts = {i: [g] for i, (g, _) in enumerate(all_pairs)}
+    mean_res = {i: [r] for i, (_, r) in enumerate(all_pairs)}
+    b_all, _ = bleu(mean_gts, mean_res, 4)
+    return {"n_scored": float(len(gts)), "retrieved_top1_BLEU_4": b_best[3],
+            "retrieved_top1_ROUGE_L": r_best,
+            "retrieved_topk_mean_BLEU_4": b_all[3]}

@@ -59,6 +59,7 @@ class BaseTrainer:
         self.logger = logger or RunLogger(os.path.join(self.result_dir,
                                                        f"{cfg.trainer.task}.log"))
         self.metrics = MetricWriter(os.path.join(self.result_dir, "metrics.jsonl"))
+        cfg.save(os.path.join(self.result_dir, "config.json"))  # run reproducibility
         self.ckpt = CheckpointManager(os.path.join(self.result_dir, "checkpoint"))
         self.metrics_fn = metrics_fn
         self.mnt_mode = cfg.monitor_mode
@@ -151,7 +152,15 @@ class BaseTrainer:
         for epoch in range(self.start_epoch, self.cfg.trainer.epochs + 1):
             t0 = time.time()
             log = {"epoch": epoch}
+            profiling = epoch == self.cfg.trainer.profile_epoch
+            if profiling:  # SURVEY §5.1: profiling baked in, one flag away
+                trace_dir = self.cfg.trainer.profile_dir or os.path.join(
+                    self.result_dir, "profile")
+                jax.profiler.start_trace(trace_dir)
+                self.logger.info(f"jax.profiler trace -> {trace_dir}")
             log.update(self._train_epoch(epoch))
+            if profiling:
+                jax.profiler.stop_trace()
             self._composite(log)
             self._record_best(log)
             for k, v in log.items():

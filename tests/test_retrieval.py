@@ -59,3 +59,19 @@ class TestKnowledgeAnnotation:
         assert sk["sk_ids"] == ["t1", "t2"]
         assert sk["reports"] == ["normal heart .", "effusion ."]
         assert sk["sk_keywords"] == [["normal heart"], ["effusion"]]
+
+
+class TestRetrievalQuality:
+    def test_rescoring(self):
+        from evoke_tpu.retrieval.topk import retrieval_quality
+        ann = {"val": [
+            {"id": "q1", "report": "the heart is normal .",
+             "specific_knowledge": {"reports": ["the heart is normal .",
+                                                "completely different text"]}},
+            {"id": "q2", "report": "no effusion seen .",
+             "specific_knowledge": {"reports": ["no effusion seen today ."]}},
+        ]}
+        out = retrieval_quality(ann, "val", {}, topk=2)
+        assert out["n_scored"] == 2
+        assert out["retrieved_top1_BLEU_4"] > 0.3
+        assert out["retrieved_top1_ROUGE_L"] > out["retrieved_topk_mean_BLEU_4"] * 0  # finite
