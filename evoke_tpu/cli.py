@@ -258,19 +258,48 @@ def _retrieve(cfg, model, tokenizer, ann, loaders) -> int:
                 ids.append(iid)
         return np.stack(embs), np.asarray(codes, np.int64), ids
 
-    db_emb, db_codes, db_ids = corpus(loaders["train"])
+    # cross-corpus mode (SURVEY §2.8): build the db from another corpus's train
+    # split (e.g. IU X-ray queries against MIMIC train)
+    db_ann_path = cfg.data.retrieve_db_ann_path or cfg.data.ann_path
+    if cfg.data.retrieve_db_ann_path:
+        from evoke_tpu.data.batching import MultiviewBatcher
+        from evoke_tpu.data.datasets import load_annotation as _load
+        from evoke_tpu.data.datasets import parse_pretrain as _pp
+        from evoke_tpu.data.transforms import make_transform as _mt
+        db_ann = _load(db_ann_path)
+        db_loader = MultiviewBatcher(
+            _pp(db_ann, "train", cfg.data.align_type), tokenizer,
+            _mt(cfg.model.image_size, False, output_uint8=cfg.data.images_uint8),
+            n_anchor=cfg.data.batch_size, max_seq_len=cfg.data.max_seq_len,
+            image_dir=cfg.data.retrieve_db_image_dir or cfg.data.image_dir,
+            num_workers=cfg.data.num_workers,
+            multiview=cfg.model.is_multiview_learning)
+    else:
+        db_loader = loaders["train"]
+
+    db_emb, db_codes, db_ids = corpus(db_loader)
     index = TopKIndex(db_emb.astype(np.float32), db_codes, db_ids)
-    topk = 20
+    topk = cfg.data.retrieve_topk
     results = {}
+    same_corpus = not cfg.data.retrieve_db_ann_path
     for split in ("train", "val", "test"):
-        q_emb, q_codes, q_ids = corpus(loaders[split]) if split != "train" else (
-            db_emb, db_codes, db_ids)
+        q_emb, q_codes, q_ids = (db_emb, db_codes, db_ids)             if (split == "train" and same_corpus) else corpus(loaders[split])
         _, idx = index.search(q_emb.astype(np.float32), q_codes, topk)
         results[split] = {qid: [db_ids[j] for j in row] for qid, row in zip(q_ids, idx)}
     out_path = cfg.data.ann_path.replace(
         ".json", f"_best_reports_keywords_{topk}.json")
-    build_knowledge_annotation(cfg.data.ann_path, out_path,
-                               ["train", "val", "test"], results, topk)
+    # knowledge reports/keywords come from the DB corpus's train items
+    import json as _json
+    from evoke_tpu.retrieval.topk import attach_specific_knowledge
+    with open(cfg.data.ann_path) as f:
+        target_ann = _json.load(f)
+    with open(db_ann_path) as f:
+        db_items = _json.load(f).get("train", [])
+    id_to_item = {str(it["id"]): it for it in db_items}
+    for split in ("train", "val", "test"):
+        attach_specific_knowledge(target_ann, split, results[split], id_to_item, topk)
+    with open(out_path, "w") as f:
+        _json.dump(target_ann, f)
     print(f"wrote {out_path}")
     return 0
 

@@ -115,6 +115,10 @@ class DataConfig:
     num_workers: int = 8
     prefetch: int = 2
     images_uint8: bool = True                    # ship uint8, normalize on device (4x less transfer)
+    # cross-corpus retrieval (SURVEY §2.8: IU X-ray retrieves against MIMIC train)
+    retrieve_db_ann_path: str = ""               # "" = same-corpus retrieval
+    retrieve_db_image_dir: str = ""
+    retrieve_topk: int = 20
 
 
 @dataclass

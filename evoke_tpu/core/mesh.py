@@ -77,3 +77,24 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 def local_slice(total: int, mesh: Mesh) -> int:
     """Per-device slice size of a dp-sharded leading dim."""
     return total // mesh.shape["dp"]
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host (multi-controller) initialization (SURVEY §5.8).
+
+    Call once per host before create_mesh on a multi-host slice; with no args,
+    jax.distributed.initialize auto-discovers from the TPU environment. On a
+    single host this is a no-op. Returns the global device count.
+    """
+    import jax
+
+    if num_processes is not None and num_processes > 1 or coordinator_address:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    elif len(jax.devices()) != len(jax.local_devices()):
+        # already initialized by the runtime
+        pass
+    return len(jax.devices())

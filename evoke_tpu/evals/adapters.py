@@ -225,6 +225,47 @@ class RadEntityAdapter:
         return sum(f1s) / max(len(f1s), 1)
 
 
+class NLIScorer:
+    """Sentence-level NLI scoring for the RadEntityNLI metric
+    (EVOKE modules/metrics/RadEntityNLI/nli.py contract): an HF
+    sequence-classification NLI model scores hypothesis sentences against
+    reference sentences; an entity match is NLI-weighted by the best
+    entailment probability of its containing sentence. Gated on a local
+    checkpoint (e.g. a BERT-NLI fine-tune with entailment as class index 0/2
+    per its config.id2label)."""
+
+    def __init__(self, model_path: str, batch_size: int = 32):
+        if not os.path.isdir(model_path):
+            raise MetricUnavailable(f"NLI model not found at {model_path}")
+        from transformers import (AutoModelForSequenceClassification,  # noqa
+                                  AutoTokenizer)
+
+        self.tokenizer = AutoTokenizer.from_pretrained(model_path)
+        self.model = AutoModelForSequenceClassification.from_pretrained(model_path)
+        self.model.eval()
+        id2label = getattr(self.model.config, "id2label", {}) or {}
+        self.entail_idx = next(
+            (int(i) for i, lbl in id2label.items()
+             if "entail" in str(lbl).lower()), 0)
+        self.batch_size = batch_size
+
+    def entailment_probs(self, premises: Sequence[str], hypotheses: Sequence[str]
+                         ) -> List[float]:
+        import torch
+
+        out: List[float] = []
+        for s in range(0, len(premises), self.batch_size):
+            enc = self.tokenizer(list(premises[s:s + self.batch_size]),
+                                 list(hypotheses[s:s + self.batch_size]),
+                                 return_tensors="pt", padding=True, truncation=True,
+                                 max_length=256)
+            with torch.no_grad():
+                logits = self.model(**enc).logits
+            probs = torch.softmax(logits, dim=-1)[:, self.entail_idx]
+            out.extend(probs.tolist())
+        return out
+
+
 def bertscore(hyps: Sequence[str], refs: Sequence[str], model_path: str,
               num_layers: int = 5, batch_size: int = 32) -> float:
     """Native BERTScore-F1: greedy cosine matching over layer-`num_layers` BERT

@@ -65,3 +65,24 @@ class TestEndToEndCLI:
         rd = os.path.join(root, "results", "mimic_cxr", "pretrain", "cli_t")
         assert os.path.exists(os.path.join(rd, "pretrain.log"))
         assert os.path.isdir(os.path.join(rd, "checkpoint", "current"))
+
+
+@pytest.mark.slow
+class TestRetrieveCLI:
+    def test_retrieve_writes_augmented_annotation(self, tmp_path):
+        root = str(tmp_path)
+        ann = write_synthetic_dataset(root, n_train=4, n_val=2, n_test=2, image_size=32)
+        rc = cli_main(["retrieve", "--data.ann_path", ann, "--data.image_dir", root,
+                       "--data.tokenizer_dir", os.path.join(root, "tok"),
+                       "--trainer.result_dir", os.path.join(root, "results"),
+                       "--trainer.version", "ret", "--data.retrieve_topk", "2"] + TINY)
+        assert rc == 0
+        out = ann.replace(".json", "_best_reports_keywords_2.json")
+        assert os.path.exists(out)
+        aug = json.loads(open(out).read())
+        item = aug["val"][0]
+        sk = item["specific_knowledge"]
+        assert len(sk["sk_ids"]) <= 2 and sk["reports"]
+        # retrieved ids come from the train split, never the query itself
+        train_ids = {it["id"] for it in aug["train"]}
+        assert set(sk["sk_ids"]) <= train_ids

@@ -162,3 +162,29 @@ class TestGreenParseSections:
                 "(a) False report of a finding: 5. styles\n"
                 "[Matched Findings]:\n3. heart; lungs; bones\n")
         assert GreenAdapter.parse_green(resp) == 3 / 4  # 5 insignificant not counted
+
+
+class TestNLIScorer:
+    def test_entailment_probs(self, tmp_path):
+        transformers = pytest.importorskip("transformers")
+        import torch
+        from transformers import BertConfig, BertForSequenceClassification, BertTokenizerFast
+        from evoke_tpu.evals.adapters import NLIScorer
+
+        cfg = BertConfig(vocab_size=30, hidden_size=16, num_hidden_layers=1,
+                         num_attention_heads=2, intermediate_size=32, num_labels=3,
+                         id2label={0: "contradiction", 1: "neutral", 2: "entailment"},
+                         label2id={"contradiction": 0, "neutral": 1, "entailment": 2})
+        model = BertForSequenceClassification(cfg)
+        d = str(tmp_path / "nli")
+        model.save_pretrained(d)
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "the", "heart",
+                 "is", "normal", "lungs", "clear", "no", "effusion", "."]
+        (tmp_path / "nli" / "vocab.txt").write_text("\n".join(vocab))
+        BertTokenizerFast(vocab_file=str(tmp_path / "nli" / "vocab.txt")).save_pretrained(d)
+        scorer = NLIScorer(d, batch_size=2)
+        assert scorer.entail_idx == 2  # found via id2label
+        probs = scorer.entailment_probs(
+            ["the heart is normal .", "no effusion ."],
+            ["the heart is normal .", "lungs clear ."])
+        assert len(probs) == 2 and all(0.0 <= p <= 1.0 for p in probs)
