@@ -86,3 +86,39 @@ class TestRetrieveCLI:
         # retrieved ids come from the train split, never the query itself
         train_ids = {it["id"] for it in aug["train"]}
         assert set(sk["sk_ids"]) <= train_ids
+
+
+@pytest.mark.slow
+class TestFullPipelineCLI:
+    def test_pretrain_retrieve_finetune_test(self, tmp_path):
+        """The complete EVOKE workflow through the CLI: stage 1 -> knowledge
+        retrieval -> stage 2 (seeded from stage 1) -> test."""
+        root = str(tmp_path)
+        ann = write_synthetic_dataset(root, n_train=4, n_val=2, n_test=2, image_size=32)
+        common = ["--data.image_dir", root,
+                  "--data.tokenizer_dir", os.path.join(root, "tok"),
+                  "--trainer.result_dir", os.path.join(root, "results")] + TINY
+        assert cli_main(["pretrain", "--data.ann_path", ann,
+                         "--trainer.version", "s1"] + common) == 0
+        s1_ckpt = os.path.join(root, "results", "mimic_cxr", "pretrain", "s1",
+                               "checkpoint", "current")
+        assert os.path.isdir(s1_ckpt)
+        assert cli_main(["retrieve", "--data.ann_path", ann,
+                         "--trainer.version", "ret", "--data.retrieve_topk", "2",
+                         "--trainer.load", s1_ckpt] + common) == 0
+        aug = ann.replace(".json", "_best_reports_keywords_2.json")
+        assert os.path.exists(aug)
+        assert cli_main(["finetune", "--data.ann_path", aug,
+                         "--trainer.version", "s2",
+                         "--trainer.load", s1_ckpt] + common) == 0
+        s2_dir = os.path.join(root, "results", "mimic_cxr", "finetune", "s2")
+        assert os.path.exists(os.path.join(s2_dir, "test_prediction.csv"))
+        s2_ckpt = os.path.join(s2_dir, "checkpoint", "current")
+        assert cli_main(["test", "--data.ann_path", aug,
+                         "--trainer.version", "s2t",
+                         "--trainer.load", s2_ckpt] + common) == 0
+        t_dir = os.path.join(root, "results", "mimic_cxr", "test", "s2t")
+        assert os.path.exists(os.path.join(t_dir, "test_prediction.csv"))
+        import pandas as pd
+        df = pd.read_csv(os.path.join(t_dir, "test_prediction.csv"), dtype=str)
+        assert df.iloc[0]["images_id"].startswith("__metric__")
