@@ -164,3 +164,28 @@ class TestUint8Path:
                              n_anchor=4, max_seq_len=16, image_dir=root)
         batch = next(iter(b))
         assert batch["images"].dtype == np.uint8
+
+
+class TestDevicePrefetch:
+    def test_order_split_and_transfer(self, devices):
+        import jax
+        from evoke_tpu.data.batching import device_prefetch
+        from evoke_tpu.core.mesh import MeshSpec, create_mesh
+
+        mesh = create_mesh(MeshSpec(dp=8))
+        batches = [{"images": np.full((8, 2), i, np.float32), "_image_ids": [f"b{i}"]}
+                   for i in range(5)]
+        out = list(device_prefetch(iter(batches), mesh, depth=2))
+        assert len(out) == 5
+        for i, (dev, host) in enumerate(out):
+            assert host["_image_ids"] == [f"b{i}"]            # host extras preserved
+            assert "_image_ids" not in dev                     # private keys stay host-side
+            assert isinstance(dev["images"], jax.Array)
+            np.testing.assert_allclose(np.asarray(dev["images"]), i)
+
+    def test_no_mesh_plain_device_put(self):
+        import jax
+        from evoke_tpu.data.batching import device_prefetch
+        batches = [{"x": np.ones(3, np.float32)}]
+        (dev, host), = list(device_prefetch(iter(batches), None, depth=1))
+        assert isinstance(dev["x"], jax.Array) and host == {}
