@@ -31,6 +31,7 @@ def build_model(cfg, vocab_size: int, task: str):
         encoder_num_heads=cfg.model.encoder_num_heads,
         encoder_intermediate_size=cfg.model.encoder_intermediate_size,
         proj_num_heads=cfg.model.proj_num_heads,
+        fusion_wide_qkv=cfg.model.fusion_wide_qkv,
         is_multiview_learning=cfg.model.is_multiview_learning, dtype=dtype)
     if task == "pretrain":
         return PretrainModel(instance_temp=cfg.loss.instance_temp,
@@ -223,7 +224,8 @@ def _retrieve(cfg, model, tokenizer, ann, loaders) -> int:
     import jax
 
     from evoke_tpu.core.checkpoint import CheckpointManager
-    from evoke_tpu.retrieval.topk import TopKIndex, build_knowledge_annotation
+    from evoke_tpu.retrieval.topk import (TopKIndex, build_knowledge_annotation,
+                                          stable_code)
     from evoke_tpu.train.optim import build_optimizer
     from evoke_tpu.train.steps import create_train_state
 
@@ -254,7 +256,7 @@ def _retrieve(cfg, model, tokenizer, ann, loaders) -> int:
                 if not batch["valid"][i]:
                     continue
                 embs.append(out[i].reshape(-1).astype(np.float16))
-                codes.append(hash(iid) & 0x7FFFFFFF)
+                codes.append(stable_code(iid))
                 ids.append(iid)
         return np.stack(embs), np.asarray(codes, np.int64), ids
 

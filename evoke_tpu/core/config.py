@@ -62,6 +62,9 @@ class ModelConfig:
     # projection heads / contrastive embedding
     output_dim: int = 2048
     proj_num_heads: int = 8
+    # multiview cross-attention per-head dim == d_model (reference
+    # utils_v0511.py:210-281 dimensioning; False = standard d_model/h)
+    fusion_wide_qkv: bool = True
 
     # multiview learning / indication fusion switches
     is_multiview_learning: bool = True
@@ -144,6 +147,7 @@ class TrainerConfig:
     version: str = "v1"
     save_period: int = 1
     early_stop: int = 10
+    async_checkpoint: bool = True                # orbax AsyncCheckpointer (overlap save/train)
     resume: str = ""
     load: str = ""
     n_devices: int = 0                           # 0 = use all visible devices
@@ -168,6 +172,7 @@ class MetricsConfig:
     radgraph_checkpoint: str = ""
     bertscore_checkpoint: str = ""
     green_checkpoint: str = ""
+    nli_checkpoint: str = ""                     # BERT-NLI for RadEntityNLI
     radgraph_reward_level: str = "partial"
 
 

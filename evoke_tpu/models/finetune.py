@@ -39,6 +39,7 @@ class FinetuneModel(nn.Module):
     fusion_intermediate_size: int = 3072
     sk_fusion_num_layers: int = 1
     proj_num_heads: int = 8
+    fusion_wide_qkv: bool = True   # reference dimensioning (utils_v0511.py:210-281)
     d_model: int = 512
     d_ff: int = 512
     num_heads: int = 8
@@ -71,7 +72,8 @@ class FinetuneModel(nn.Module):
                                           final_bn=True, dtype=self.dtype)
         self.text_head = ProjectionHead(self.output_dim, self.output_dim,
                                         final_bn=True, dtype=self.dtype)
-        self.fusion = MultiviewFusion(self.d_vf, self.proj_num_heads, dtype=self.dtype)
+        self.fusion = MultiviewFusion(self.d_vf, self.proj_num_heads,
+                                      wide_qkv=self.fusion_wide_qkv, dtype=self.dtype)
         # names match the reference's two-group optimizer split (optimizers.py:30)
         self.multimodal_fusion_layers = [
             BertCrossLayer(self.output_dim, self.fusion_num_heads,

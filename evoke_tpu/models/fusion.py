@@ -16,10 +16,14 @@ TPU-impossible pattern. Here it is ONE batched attention: queries
 same-study mask. Under a dp-sharded jit, XLA all-gathers the key/value tokens
 across shards so cross-shard same-study pairs fuse exactly as on one device.
 
-Deviation (documented): the reference's ScaledDotProductAttention
-(modules/utils_v0511.py:210-281) uses per-head dim == d_model (h*d_k = 8*2048),
-a 134M-parameter attention. We default to standard per-head dim d_model/h;
-set wide_qkv=True for the reference's dimensioning.
+The reference's ScaledDotProductAttention (modules/utils_v0511.py:210-281)
+uses per-head dim == d_model (h*d_k = 8*2048, a 134M-parameter attention);
+``wide_qkv=True`` (the default, required for checkpoint-import parity)
+reproduces that dimensioning, ``wide_qkv=False`` is the standard d_model/h
+alternative. The two LayerNorms are torch ``nn.LayerNorm`` semantics
+(biased variance, eps=1e-5 inside the sqrt — reference
+model_pretrain_finetune_v0425_ablation.py:38-39), unlike the R2Gen decoder's
+custom unbiased-std LayerNorm.
 """
 
 from __future__ import annotations
@@ -30,7 +34,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from evoke_tpu.models.layers import TorchLayerNorm, dot_attention
+from evoke_tpu.models.layers import dot_attention
 
 Dtype = Any
 
@@ -55,7 +59,7 @@ class BatchedCrossViewAttention(nn.Module):
     d_model: int
     num_heads: int = 8
     dropout_rate: float = 0.1
-    wide_qkv: bool = False
+    wide_qkv: bool = True
     use_pallas: bool = False   # fused flash-style kernel (ops/fusion_attention.py)
     dtype: Dtype = jnp.float32
 
@@ -124,12 +128,12 @@ class MultiviewFusion(nn.Module):
     d_model: int
     num_heads: int = 8
     dropout_rate: float = 0.1
-    wide_qkv: bool = False
+    wide_qkv: bool = True
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.layer_norm_1 = TorchLayerNorm(dtype=self.dtype)
-        self.layer_norm_2 = TorchLayerNorm(dtype=self.dtype)
+        self.layer_norm_1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.layer_norm_2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.cross = BatchedCrossViewAttention(self.d_model, self.num_heads,
                                                self.dropout_rate, self.wide_qkv,
                                                dtype=self.dtype)

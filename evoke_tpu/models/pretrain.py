@@ -34,6 +34,7 @@ class PretrainModel(nn.Module):
     encoder_num_heads: int = 12
     encoder_intermediate_size: int = 3072
     proj_num_heads: int = 8
+    fusion_wide_qkv: bool = True   # reference dimensioning (utils_v0511.py:210-281)
     instance_temp: float = 0.5
     region_temp: float = 0.5
     is_multiview_learning: bool = True
@@ -51,7 +52,8 @@ class PretrainModel(nn.Module):
                                           final_bn=False, dtype=self.dtype)
         self.text_head = ProjectionHead(self.output_dim, self.output_dim,
                                         final_bn=False, dtype=self.dtype)
-        self.fusion = MultiviewFusion(self.d_vf, self.proj_num_heads, dtype=self.dtype)
+        self.fusion = MultiviewFusion(self.d_vf, self.proj_num_heads,
+                                      wide_qkv=self.fusion_wide_qkv, dtype=self.dtype)
 
     def encode_images(self, images, pid_codes, valid, n_anchor: int, train=False):
         """images: [B, H, W, 3] (anchors first) ->

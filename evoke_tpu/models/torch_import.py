@@ -39,14 +39,18 @@ def _assign(tree: Dict, path: List[str], value: np.ndarray,
         if p not in node:
             report.setdefault("missing", 0)
             report["missing"] += 1
+            report.setdefault("missing_keys", []).append(f"{key} -> {'/'.join(path)}")
             return
         node = node[p]
     leaf = path[-1]
     if leaf not in node:
         report["missing"] += 1
+        report.setdefault("missing_keys", []).append(f"{key} -> {'/'.join(path)}")
         return
     if tuple(np.shape(node[leaf])) != tuple(value.shape):
         report["mismatched"] += 1
+        report.setdefault("mismatched_keys", []).append(
+            f"{key} -> {'/'.join(path)}: {np.shape(node[leaf])} vs {value.shape}")
         return
     node[leaf] = value.astype(np.asarray(node[leaf]).dtype)
     report["loaded"] += 1
@@ -173,3 +177,264 @@ def detect_bert_prefix(state_dict: Dict[str, np.ndarray]) -> str:
         if f"{cand}embeddings.word_embeddings.weight" in state_dict:
             return cand
     return ""
+
+
+# --------------------------------------------------------------------------
+# Full FineTune tree import (released EVOKE model_best.pth format)
+# --------------------------------------------------------------------------
+
+def _strip_module(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Drop a DataParallel 'module.' prefix if every key carries it."""
+    if state_dict and all(k.startswith("module.") for k in state_dict):
+        return {k[len("module."):]: v for k, v in state_dict.items()}
+    return state_dict
+
+
+def _sub_dict(state_dict: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
+
+
+_RESNET_SEQ = {"0": "conv1", "1": "bn1", "4": "layer1", "5": "layer2",
+               "6": "layer3", "7": "layer4"}
+
+
+def _resnet_seq_to_named(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """EVOKE wraps torchvision resnet children in nn.Sequential
+    (modules/visual_extractor.py:15-16), so keys are 'model.0.weight' etc.
+    Remap the Sequential indices back to torchvision names."""
+    out = {}
+    for k, v in sd.items():
+        idx, _, rest = k.partition(".")
+        name = _RESNET_SEQ.get(idx)
+        if name is None:
+            continue
+        out[f"{name}.{rest}" if rest else name] = v
+    return out
+
+
+def _import_bert_hf_layer(lp: Dict, sd, at: str, report: Dict[str, int]) -> None:
+    """One HF-format Bert(Cross)Layer attention block: sd keys rooted at
+    '{at}.self.*' / '{at}.output.*' -> our BertAttentionBlock tree ``lp``."""
+    for name, dstk in (("query", "wq"), ("key", "wk"), ("value", "wv")):
+        w = sd(f"{at}.self.{name}.weight")
+        if w is None:
+            report["missing"] += 1
+            continue
+        _assign(lp, [dstk, "kernel"], _dense(w), report, at)
+        _assign(lp, [dstk, "bias"], sd(f"{at}.self.{name}.bias"), report, at)
+    if sd(f"{at}.output.dense.weight") is not None:
+        _assign(lp, ["out", "Dense_0", "kernel"], _dense(sd(f"{at}.output.dense.weight")),
+                report, at)
+        _assign(lp, ["out", "Dense_0", "bias"], sd(f"{at}.output.dense.bias"), report, at)
+        _assign(lp, ["out", "LayerNorm_0", "scale"], sd(f"{at}.output.LayerNorm.weight"),
+                report, at)
+        _assign(lp, ["out", "LayerNorm_0", "bias"], sd(f"{at}.output.LayerNorm.bias"),
+                report, at)
+
+
+def _import_fusion_block(lp: Dict, sd, report: Dict[str, int], cross: bool) -> None:
+    """BertLayer / BertCrossLayer (reference bert_model.py:444,548) -> our tree."""
+    _import_bert_hf_layer(lp["attention"], sd, "attention", report)
+    if cross:
+        _import_bert_hf_layer(lp["crossattention"], sd, "crossattention", report)
+    _assign(lp, ["ffn", "Dense_0", "kernel"], _dense(sd("intermediate.dense.weight")),
+            report, "intermediate")
+    _assign(lp, ["ffn", "Dense_0", "bias"], sd("intermediate.dense.bias"),
+            report, "intermediate")
+    _assign(lp, ["ffn", "BertSelfOutput_0", "Dense_0", "kernel"],
+            _dense(sd("output.dense.weight")), report, "output")
+    _assign(lp, ["ffn", "BertSelfOutput_0", "Dense_0", "bias"], sd("output.dense.bias"),
+            report, "output")
+    _assign(lp, ["ffn", "BertSelfOutput_0", "LayerNorm_0", "scale"],
+            sd("output.LayerNorm.weight"), report, "output")
+    _assign(lp, ["ffn", "BertSelfOutput_0", "LayerNorm_0", "bias"],
+            sd("output.LayerNorm.bias"), report, "output")
+
+
+def _import_projection_head(params: Dict, stats: Dict, sd, report: Dict[str, int]) -> None:
+    """VisualProjectionHeadFinetune / TextProjectionHeadFinetune
+    (utils_v0511.py:171-209): Conv1d(k=1) -> BN -> ReLU -> Conv1d(k=1) -> BN(affine=False).
+    Conv1d weight [out, in, 1] == Dense kernel [in, out] after squeeze+transpose."""
+    def conv1d(w):
+        return np.transpose(w[:, :, 0])
+
+    _assign(params, ["Dense_0", "kernel"], conv1d(sd("head.0.weight")), report, "head.0")
+    _assign(params, ["Dense_0", "bias"], sd("head.0.bias"), report, "head.0")
+    _assign(params, ["SeqBatchNorm_0", "BatchNorm_0", "scale"], sd("head.1.weight"),
+            report, "head.1")
+    _assign(params, ["SeqBatchNorm_0", "BatchNorm_0", "bias"], sd("head.1.bias"),
+            report, "head.1")
+    _assign(stats, ["SeqBatchNorm_0", "BatchNorm_0", "mean"], sd("head.1.running_mean"),
+            report, "head.1")
+    _assign(stats, ["SeqBatchNorm_0", "BatchNorm_0", "var"], sd("head.1.running_var"),
+            report, "head.1")
+    _assign(params, ["Dense_1", "kernel"], conv1d(sd("head.3.weight")), report, "head.3")
+    _assign(params, ["Dense_1", "bias"], sd("head.3.bias"), report, "head.3")
+    # trailing BN is affine-free: running stats only
+    _assign(stats, ["SeqBatchNorm_1", "BatchNorm_0", "mean"], sd("head.4.running_mean"),
+            report, "head.4")
+    _assign(stats, ["SeqBatchNorm_1", "BatchNorm_0", "var"], sd("head.4.running_var"),
+            report, "head.4")
+
+
+def _import_mha(lp: Dict, sd, prefix: str, report: Dict[str, int]) -> None:
+    """Reference MultiHeadedAttention (encoder_decoder.py:182-207): linears.{0..3}
+    = q, k, v, out -> our wq/wk/wv/wo."""
+    for i, dst in enumerate(("wq", "wk", "wv", "wo")):
+        _assign(lp, [dst, "kernel"], _dense(sd(f"{prefix}.linears.{i}.weight")),
+                report, prefix)
+        _assign(lp, [dst, "bias"], sd(f"{prefix}.linears.{i}.bias"), report, prefix)
+
+
+def _import_cln(lp: Dict, sd, prefix: str, report: Dict[str, int]) -> None:
+    """ConditionalLayerNorm (encoder_decoder.py:144-178): gamma/beta +
+    mlp_gamma/mlp_beta Sequentials (indices 0 and 2 are the Linears)."""
+    _assign(lp, ["gamma"], sd(f"{prefix}.gamma"), report, prefix)
+    _assign(lp, ["beta"], sd(f"{prefix}.beta"), report, prefix)
+    for mlp in ("mlp_gamma", "mlp_beta"):
+        _assign(lp, [f"{mlp}_0", "kernel"], _dense(sd(f"{prefix}.{mlp}.0.weight")),
+                report, prefix)
+        _assign(lp, [f"{mlp}_0", "bias"], sd(f"{prefix}.{mlp}.0.bias"), report, prefix)
+        _assign(lp, [f"{mlp}_1", "kernel"], _dense(sd(f"{prefix}.{mlp}.2.weight")),
+                report, prefix)
+        _assign(lp, [f"{mlp}_1", "bias"], sd(f"{prefix}.{mlp}.2.bias"), report, prefix)
+
+
+def _import_rm_decoder(params: Dict, sd, report: Dict[str, int]) -> None:
+    """EVOKE EncoderDecoder (encoder_decoder.py:303-404) -> our RMDecoder tree."""
+    _assign(params, ["att_embed", "kernel"], _dense(sd("att_embed.0.weight")),
+            report, "att_embed")
+    _assign(params, ["att_embed", "bias"], sd("att_embed.0.bias"), report, "att_embed")
+
+    n_enc = len([k for k in params if k.startswith("enc_") and k[4:].isdigit()])
+    for i in range(n_enc):
+        lp = params[f"enc_{i}"]
+        base = f"model.encoder.layers.{i}"
+        _import_mha(lp["self_attn"], sd, f"{base}.self_attn", report)
+        for j, norm in ((0, "norm1"), (1, "norm2")):
+            _assign(lp, [norm, "gamma"], sd(f"{base}.sublayer.{j}.norm.gamma"), report, base)
+            _assign(lp, [norm, "beta"], sd(f"{base}.sublayer.{j}.norm.beta"), report, base)
+        _assign(lp, ["ff", "Dense_0", "kernel"], _dense(sd(f"{base}.feed_forward.w_1.weight")),
+                report, base)
+        _assign(lp, ["ff", "Dense_0", "bias"], sd(f"{base}.feed_forward.w_1.bias"), report, base)
+        _assign(lp, ["ff", "Dense_1", "kernel"], _dense(sd(f"{base}.feed_forward.w_2.weight")),
+                report, base)
+        _assign(lp, ["ff", "Dense_1", "bias"], sd(f"{base}.feed_forward.w_2.bias"), report, base)
+    _assign(params, ["enc_norm", "gamma"], sd("model.encoder.norm.gamma"), report, "enc_norm")
+    _assign(params, ["enc_norm", "beta"], sd("model.encoder.norm.beta"), report, "enc_norm")
+
+    n_dec = len([k for k in params if k.startswith("dec_") and k[4:].isdigit()])
+    for i in range(n_dec):
+        lp = params[f"dec_{i}"]
+        base = f"model.decoder.layers.{i}"
+        _import_mha(lp["self_attn"], sd, f"{base}.self_attn", report)
+        _import_mha(lp["src_attn"], sd, f"{base}.src_attn", report)
+        for j, cln in ((0, "cln1"), (1, "cln2"), (2, "cln3")):
+            _import_cln(lp[cln], sd, f"{base}.sublayer.{j}.norm", report)
+        _assign(lp, ["ff", "Dense_0", "kernel"], _dense(sd(f"{base}.feed_forward.w_1.weight")),
+                report, base)
+        _assign(lp, ["ff", "Dense_0", "bias"], sd(f"{base}.feed_forward.w_1.bias"), report, base)
+        _assign(lp, ["ff", "Dense_1", "kernel"], _dense(sd(f"{base}.feed_forward.w_2.weight")),
+                report, base)
+        _assign(lp, ["ff", "Dense_1", "bias"], sd(f"{base}.feed_forward.w_2.bias"), report, base)
+    _assign(params, ["dec_norm", "gamma"], sd("model.decoder.norm.gamma"), report, "dec_norm")
+    _assign(params, ["dec_norm", "beta"], sd("model.decoder.norm.beta"), report, "dec_norm")
+
+    _assign(params, ["tgt_embed", "lut", "embedding"], sd("model.tgt_embed.0.lut.weight"),
+            report, "tgt_embed")
+    _import_mha(params["rm"]["attn"], sd, "model.rm.attn", report)
+    _assign(params, ["rm", "mlp1", "kernel"], _dense(sd("model.rm.mlp.0.weight")), report, "rm")
+    _assign(params, ["rm", "mlp1", "bias"], sd("model.rm.mlp.0.bias"), report, "rm")
+    _assign(params, ["rm", "mlp2", "kernel"], _dense(sd("model.rm.mlp.2.weight")), report, "rm")
+    _assign(params, ["rm", "mlp2", "bias"], sd("model.rm.mlp.2.bias"), report, "rm")
+    _assign(params, ["rm", "W", "kernel"], _dense(sd("model.rm.W.weight")), report, "rm")
+    _assign(params, ["rm", "W", "bias"], sd("model.rm.W.bias"), report, "rm")
+    _assign(params, ["rm", "U", "kernel"], _dense(sd("model.rm.U.weight")), report, "rm")
+    _assign(params, ["rm", "U", "bias"], sd("model.rm.U.bias"), report, "rm")
+    _assign(params, ["logit", "kernel"], _dense(sd("logit.weight")), report, "logit")
+    _assign(params, ["logit", "bias"], sd("logit.bias"), report, "logit")
+
+
+def import_finetune_checkpoint(state_dict: Dict[str, np.ndarray], variables: Dict
+                               ) -> Tuple[Dict, Dict[str, int]]:
+    """Map a full EVOKE FineTune state_dict (the released ``model_best.pth``
+    trees, models/model_pretrain_finetune_v0425_ablation.py:23-231) onto
+    FinetuneModel variables. Requires the model to be built with
+    ``fusion_wide_qkv=True`` (the reference's attention dimensioning,
+    modules/utils_v0511.py:210-281) — mismatched shapes are skipped and counted.
+
+    Returns (new variables, report {loaded, mismatched, missing}).
+    """
+    import jax
+
+    state_dict = _strip_module(state_dict)
+    variables = jax.tree_util.tree_map(np.asarray, jax.device_get(variables))
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    report = {"loaded": 0, "mismatched": 0, "missing": 0}
+
+    # visual extractor (Sequential-index remap -> torchvision names)
+    resnet_sd = _resnet_seq_to_named(_sub_dict(state_dict, "visual_extractor.model."))
+    sub = {"params": {"backbone": params["visual_extractor"]["backbone"]},
+           "batch_stats": {"backbone": stats["visual_extractor"]["backbone"]}}
+    sub, r = import_resnet101(resnet_sd, sub)
+    params["visual_extractor"]["backbone"] = sub["params"]["backbone"]
+    stats["visual_extractor"]["backbone"] = sub["batch_stats"]["backbone"]
+    for k in report:
+        report[k] += r[k]
+
+    # text encoder (HF BertModel under text_encoder.encoder.)
+    params["text_encoder"], r = import_bert_encoder(
+        state_dict, params["text_encoder"], prefix="text_encoder.encoder.")
+    for k in report:
+        report[k] += r[k]
+
+    # multiview fusion: the two LayerNorms live on the top-level reference model
+    fus = params["fusion"]
+    _assign(fus, ["layer_norm_1", "scale"], state_dict["layer_norm_1.weight"],
+            report, "layer_norm_1")
+    _assign(fus, ["layer_norm_1", "bias"], state_dict["layer_norm_1.bias"],
+            report, "layer_norm_1")
+    _assign(fus, ["layer_norm_2", "scale"], state_dict["layer_norm_2.weight"],
+            report, "layer_norm_2")
+    _assign(fus, ["layer_norm_2", "bias"], state_dict["layer_norm_2.bias"],
+            report, "layer_norm_2")
+    for fc in ("fc_q", "fc_k", "fc_v", "fc_o"):
+        _assign(fus, ["cross", fc, "kernel"],
+                _dense(state_dict[f"multiview_cross_attention.{fc}.weight"]), report, fc)
+        _assign(fus, ["cross", fc, "bias"],
+                state_dict[f"multiview_cross_attention.{fc}.bias"], report, fc)
+
+    # projection heads
+    def sub_sd(prefix):
+        d = _sub_dict(state_dict, prefix)
+        return lambda k: d.get(k)
+
+    _import_projection_head(params["visual_head"], stats["visual_head"],
+                            sub_sd("visual_head."), report)
+    _import_projection_head(params["text_head"], stats["text_head"],
+                            sub_sd("text_head."), report)
+
+    # indication co-attention / self-attention stacks
+    i = 0
+    while f"multimodal_fusion_layers_{i}" in params:
+        _import_fusion_block(params[f"multimodal_fusion_layers_{i}"],
+                             sub_sd(f"multimodal_fusion_layers.{i}."), report, cross=True)
+        i += 1
+    i = 0
+    while f"visual_self_atten_layers_{i}" in params:
+        _import_fusion_block(params[f"visual_self_atten_layers_{i}"],
+                             sub_sd(f"visual_self_atten_layers.{i}."), report, cross=False)
+        i += 1
+
+    # R2Gen decoder
+    _import_rm_decoder(params["text_decoder"], sub_sd("text_decoder."), report)
+
+    return {"params": params, "batch_stats": stats}, report
+
+
+def load_finetune_checkpoint(path: str, variables: Dict) -> Tuple[Dict, Dict[str, int]]:
+    """Load a released EVOKE ``model_best.pth`` (README.md:22-27) into
+    FinetuneModel variables. The .pth is a dict with a 'state_dict' entry
+    (trainer_v0401.py:160-176)."""
+    return import_finetune_checkpoint(load_torch_state_dict(path), variables)
