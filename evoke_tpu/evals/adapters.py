@@ -163,36 +163,124 @@ class GreenAdapter:
             "    <The number of matched findings>. <Finding 1>; <Finding 2>; ...; "
             "<Finding n>\n    ```\n")
 
-    def __call__(self, hyps: Sequence[str], refs: Sequence[str]) -> float:
+    def generate(self, hyps: Sequence[str], refs: Sequence[str]) -> List[str]:
+        """Batched LLM judging: all (ref, hyp) prompts tokenized together per
+        batch (left padding) and generated in one call — the reference loops one
+        pair per generate() (green.py:164-172, its own measured pain point)."""
         import torch
 
-        scores = []
-        for h, r in zip(hyps, refs):
-            prompt = self.make_prompt(r, h)
-            ids = self.tokenizer(prompt, return_tensors="pt")
+        self.tokenizer.padding_side = "left"
+        if self.tokenizer.pad_token is None:
+            self.tokenizer.pad_token = self.tokenizer.eos_token
+        responses = []
+        for s in range(0, len(hyps), self.batch_size):
+            prompts = [self.make_prompt(r, h)
+                       for h, r in zip(hyps[s:s + self.batch_size], refs[s:s + self.batch_size])]
+            enc = self.tokenizer(prompts, return_tensors="pt", padding=True)
             with torch.no_grad():
-                out = self.model.generate(**ids, max_new_tokens=self.max_new_tokens)
-            text = self.tokenizer.decode(out[0], skip_special_tokens=True)
-            scores.append(self.parse_green(text))
-        return sum(scores) / max(len(scores), 1)
+                out = self.model.generate(**enc, max_new_tokens=self.max_new_tokens)
+            out = out[:, enc["input_ids"].shape[1]:]
+            responses += [self.clean_response(t) for t in
+                          self.tokenizer.batch_decode(out, skip_special_tokens=False)]
+        return responses
+
+    def __call__(self, hyps: Sequence[str], refs: Sequence[str]) -> float:
+        return self.score(hyps, refs)["green_mean"]
+
+    def score(self, hyps: Sequence[str], refs: Sequence[str]) -> Dict[str, object]:
+        """Full GREEN results (green_score/green.py:188-260,418-468): per-pair
+        scores, mean/std, the 6 significant-error subcategory counts + matched
+        findings per pair, and per-subcategory accuracy (fraction error-free)."""
+        responses = self.generate(hyps, refs)
+        return self.summarize(responses)
+
+    @classmethod
+    def summarize(cls, responses: Sequence[str]) -> Dict[str, object]:
+        scores = [cls.compute_green(r) for r in responses]
+        counts = [cls.error_counts(r) for r in responses]
+        n = max(len(responses), 1)
+        valid = [s for s in scores if s is not None]
+        mean = sum(valid) / max(len(valid), 1)
+        std = (sum((s - mean) ** 2 for s in valid) / max(len(valid), 1)) ** 0.5
+        accuracies = {
+            sub: sum(1 for c in counts if c[i] == 0) / n
+            for i, sub in enumerate(cls.SUB_CATEGORIES)}
+        return {"green_mean": mean, "green_std": std, "scores": scores,
+                "error_counts": counts, "accuracies": accuracies,
+                "summary": (f"[Summary]: Green average {mean} and standard "
+                            f"variation {std}")}
+
+    # ---- response parsing (green_score contract) ----
+
+    CATEGORIES = ["Clinically Significant Errors", "Clinically Insignificant Errors",
+                  "Matched Findings"]
+    SUB_CATEGORIES = [
+        "(a) False report of a finding in the candidate",
+        "(b) Missing a finding present in the reference",
+        "(c) Misidentification of a finding's anatomic location/position",
+        "(d) Misassessment of the severity of a finding",
+        "(e) Mentioning a comparison that isn't in the reference",
+        "(f) Omitting a comparison detailing a change from a prior study",
+    ]
 
     @staticmethod
-    def parse_green(response: str) -> float:
-        """Parse matched findings / clinically SIGNIFICANT errors into the GREEN
-        score (green_score/green.py:216-260: green = m / (m + sum(sig_errors));
-        insignificant errors do not count against the score)."""
+    def clean_response(response: str) -> str:
+        """green_score/utils.py:174-186 contract."""
+        if "[Explanation]:" in response:
+            if "<|assistant|>" in response:
+                response = response.split("<|assistant|>")[-1]
+            response = response.split("[Explanation]:")[-1]
+        if "<|assistant|>" in response:
+            response = response.split("<|assistant|>")[-1]
+        return response.replace("</s>", "").replace("<unk>", "")
+
+    @classmethod
+    def parse_error_counts(cls, text: str, category: str) -> Tuple[int, List[int]]:
+        """(green.py:242-295): -> (sum, [six subcategory counts]). For
+        'Matched Findings' the sum is the leading integer of the block."""
         import re
 
-        m = re.search(r"Matched Findings\]?:\s*(\d+)", response)
-        matched = int(m.group(1)) if m else 0
-        sig_block = response
-        if "Clinically Insignificant Errors" in response:
-            sig_block = response.split("Clinically Insignificant Errors")[0]
-        errors = [int(x) for x in re.findall(r"\([a-f]\)\s*[^:]*:\s*(\d+)", sig_block)]
-        sig = sum(errors)
-        if matched + sig == 0:
+        pattern = rf"\[{category}\]:\s*(.*?)(?:\n\s*\n|\Z)"
+        m = re.search(pattern, text, re.DOTALL)
+        sub_counts = [0] * 6
+        if not m or m.group(1).startswith("No"):
+            return 0, sub_counts
+        block = m.group(1)
+        if category == "Matched Findings":
+            counts = re.findall(r"^\b\d+\b(?=\.)", block)
+            return (int(counts[0]) if counts else 0), sub_counts
+        subs = [s.split(" ", 1)[0] + " " for s in cls.SUB_CATEGORIES]
+        matches = sorted(re.findall(r"\([a-f]\) .*", block))
+        if not matches:  # numeric template variant
+            matches = sorted(re.findall(r"\([1-6]\) .*", block))
+            subs = [f"({i}) " for i in range(1, 7)]
+        for pos, sub in enumerate(subs):
+            for match in matches:
+                if match.startswith(sub):
+                    count = re.findall(r"(?<=: )\b\d+\b(?=\.)", match)
+                    if count:
+                        sub_counts[pos] = int(count[0])
+        return sum(sub_counts), sub_counts
+
+    @classmethod
+    def error_counts(cls, response: str) -> List[int]:
+        """[six significant-error counts, matched findings] (green.py:216-220)."""
+        _, sig = cls.parse_error_counts(response, cls.CATEGORIES[0])
+        matched, _ = cls.parse_error_counts(response, cls.CATEGORIES[2])
+        return sig + [matched]
+
+    @classmethod
+    def compute_green(cls, response: str) -> float:
+        """green = matched / (matched + sum(sig_errors)); 0 when nothing matched
+        (green.py:222-240). Insignificant errors do not count against the score."""
+        sig_sum, sig = cls.parse_error_counts(response, cls.CATEGORIES[0])
+        matched, _ = cls.parse_error_counts(response, cls.CATEGORIES[2])
+        if matched == 0:
             return 0.0
-        return matched / (matched + sig)
+        return matched / (matched + sum(sig))
+
+    # back-compat alias (round-1 surface)
+    parse_green = compute_green
 
 
 class RadEntityAdapter:
@@ -265,20 +353,139 @@ class NLIScorer:
             out.extend(probs.tolist())
         return out
 
+    def label(self, premise: str, hypothesis: str) -> str:
+        """Argmax NLI label name ('entailment'/'neutral'/'contradiction')."""
+        import torch
 
-def bertscore(hyps: Sequence[str], refs: Sequence[str], model_path: str,
-              num_layers: int = 5, batch_size: int = 32) -> float:
-    """Native BERTScore-F1: greedy cosine matching over layer-`num_layers` BERT
-    token embeddings (the bert_score package's core algorithm, no baselines/idf;
-    reference modules/bertscore.py used distilbert rescaled — treat as indicative)."""
+        enc = self.tokenizer([premise], [hypothesis], return_tensors="pt",
+                             padding=True, truncation=True, max_length=256)
+        with torch.no_grad():
+            logits = self.model(**enc).logits
+        idx = int(torch.argmax(logits, dim=-1)[0])
+        id2label = getattr(self.model.config, "id2label", {}) or {}
+        return str(id2label.get(idx, id2label.get(str(idx), idx))).lower()
+
+
+class RadEntityNLIScorer:
+    """NLI-weighted entity-match F1 — the assembled RadEntityNLI metric
+    (EVOKE modules/metrics/RadEntityNLI/RadEntityNLI.py:48-127 algorithm):
+
+    Per report pair: split into sentences; extract radiology entities per
+    sentence; for each hyp sentence with entities, find the most similar ref
+    sentence (sentence-level BERTScore-F argmax) and NLI-label the pair;
+    precision counts = +1 sentence bonus if entailment, +1 per entity present
+    in the reference's entity set unless contradiction; recall mirrors with
+    roles swapped; report F1 = harmonic mean; corpus score = mean over reports.
+
+    Components are injectable for testing: ``ner_fn(text) -> [(sentence,
+    [entities])]``, ``sim_fn(hyp_sents, ref_sents) -> [[f]]``,
+    ``nli_fn(premise, hypothesis) -> 'entailment'|'neutral'|'contradiction'``.
+    Defaults: stanza radiology NER (RadEntityAdapter), native bertscore
+    embeddings, and NLIScorer with an argmax label head.
+    """
+
+    def __init__(self, ner_fn=None, sim_fn=None, nli_fn=None,
+                 nli_model_path: Optional[str] = None,
+                 bertscore_model_path: Optional[str] = None):
+        if ner_fn is None:
+            adapter = RadEntityAdapter()
+
+            def ner_fn(text):
+                doc = adapter.nlp(text)
+                return [(" ".join(t.text for t in s.tokens),
+                         [e.text.lower() for e in s.ents]) for s in doc.sentences]
+
+        if sim_fn is None:
+            if not bertscore_model_path:
+                raise MetricUnavailable("RadEntityNLI needs bertscore_model_path")
+            sim_fn = _sentence_bertscore_matrix_fn(bertscore_model_path)
+        if nli_fn is None:
+            if not nli_model_path:
+                raise MetricUnavailable("RadEntityNLI needs nli_model_path")
+            scorer = NLIScorer(nli_model_path)
+
+            def nli_fn(premise, hypothesis):
+                return scorer.label(premise, hypothesis)
+
+        self.ner_fn, self.sim_fn, self.nli_fn = ner_fn, sim_fn, nli_fn
+
+    def _directional(self, from_sents, from_ents, to_ents_flat, sim_rows, to_sents):
+        match = total = 0
+        for sent, ents, sims in zip(from_sents, from_ents, sim_rows):
+            if not ents:
+                continue
+            best = max(range(len(sims)), key=lambda j: sims[j])
+            label = self.nli_fn(sent, to_sents[best])
+            if label == "entailment":
+                match += 1
+            for e in ents:
+                total += 1
+                if label == "contradiction":
+                    continue
+                if e in to_ents_flat:
+                    match += 1
+        return match, total
+
+    def score_pair(self, hyp: str, ref: str) -> Optional[float]:
+        h = self.ner_fn(hyp)
+        r = self.ner_fn(ref)
+        if not h or not r:
+            return None
+        h_sents, h_ents = [s for s, _ in h], [e for _, e in h]
+        r_sents, r_ents = [s for s, _ in r], [e for _, e in r]
+        sims = self.sim_fn(h_sents, r_sents)          # [len(h), len(r)]
+        sims_t = [[sims[i][j] for i in range(len(h_sents))] for j in range(len(r_sents))]
+        mp, tp = self._directional(h_sents, h_ents,
+                                   [e for es in r_ents for e in es], sims, r_sents)
+        mr, tr = self._directional(r_sents, r_ents,
+                                   [e for es in h_ents for e in es], sims_t, h_sents)
+        p = mp / tp if tp > 0 else 0.0
+        r_ = mr / tr if tr > 0 else 0.0
+        return 2 * p * r_ / (p + r_) if p > 0.0 and r_ > 0.0 else 0.0
+
+    def __call__(self, hyps: Sequence[str], refs: Sequence[str]
+                 ) -> Tuple[float, List[float]]:
+        scores = [s for s in (self.score_pair(h, r) for h, r in zip(hyps, refs))
+                  if s is not None]
+        return sum(scores) / max(len(scores), 1), scores
+
+
+def _sentence_bertscore_matrix_fn(model_path: str):
+    """-> sim_fn(hyp_sents, ref_sents) -> [[BERTScore-F]] (all pairs)."""
+
+    def sim_fn(hyp_sents, ref_sents):
+        pairs_h, pairs_r = [], []
+        for h in hyp_sents:
+            for r in ref_sents:
+                pairs_h.append(h)
+                pairs_r.append(r)
+        flat = bertscore_f1s(pairs_h, pairs_r, model_path)
+        n = len(ref_sents)
+        return [flat[i * n:(i + 1) * n] for i in range(len(hyp_sents))]
+
+    return sim_fn
+
+
+_BERTSCORE_CACHE: Dict[str, tuple] = {}
+
+
+def bertscore_f1s(hyps: Sequence[str], refs: Sequence[str], model_path: str,
+                  num_layers: int = 5, batch_size: int = 32) -> List[float]:
+    """Per-pair native BERTScore-F1: greedy cosine matching over
+    layer-`num_layers` BERT token embeddings (the bert_score package's core
+    algorithm, no baselines/idf; reference modules/bertscore.py used distilbert
+    rescaled — rescaling is affine so rankings/argmax are unchanged)."""
     if not os.path.isdir(model_path):
         raise MetricUnavailable(f"BERTScore model not found at {model_path}")
     import torch
     from transformers import AutoModel, AutoTokenizer
 
-    tok = AutoTokenizer.from_pretrained(model_path)
-    model = AutoModel.from_pretrained(model_path, output_hidden_states=True)
-    model.eval()
+    if model_path not in _BERTSCORE_CACHE:
+        tok = AutoTokenizer.from_pretrained(model_path)
+        model = AutoModel.from_pretrained(model_path, output_hidden_states=True)
+        model.eval()
+        _BERTSCORE_CACHE[model_path] = (tok, model)
+    tok, model = _BERTSCORE_CACHE[model_path]
 
     def embed(texts):
         enc = tok(list(texts), return_tensors="pt", padding=True, truncation=True,
@@ -289,7 +496,7 @@ def bertscore(hyps: Sequence[str], refs: Sequence[str], model_path: str,
         h = torch.nn.functional.normalize(h, dim=-1)
         return h, enc["attention_mask"].bool()
 
-    f1s = []
+    f1s: List[float] = []
     for start in range(0, len(hyps), batch_size):
         hh, rr = hyps[start:start + batch_size], refs[start:start + batch_size]
         eh, mh = embed(hh)
@@ -301,4 +508,10 @@ def bertscore(hyps: Sequence[str], refs: Sequence[str], model_path: str,
             p = sim.max(dim=1).values.mean().item()
             r = sim.max(dim=0).values.mean().item()
             f1s.append(0.0 if p + r == 0 else 2 * p * r / (p + r))
+    return f1s
+
+
+def bertscore(hyps: Sequence[str], refs: Sequence[str], model_path: str,
+              num_layers: int = 5, batch_size: int = 32) -> float:
+    f1s = bertscore_f1s(hyps, refs, model_path, num_layers, batch_size)
     return sum(f1s) / max(len(f1s), 1)

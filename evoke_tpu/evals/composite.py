@@ -18,8 +18,19 @@ _SCORER_CACHE: Dict[str, object] = {}
 
 
 def compute_ce_scores(gts: List[str], res: List[str], metrics_cfg) -> Dict[str, float]:
-    """CheXbert + RadGraph (+BERTScore when configured); degrades per-metric, loudly."""
+    """CheXbert + RadGraph (+BERTScore/GREEN/RadEntityNLI when configured).
+
+    Degrades per-metric, VISIBLY: every configured-but-failed metric lands in
+    the returned ``degraded_metrics`` entry, which the trainer writes into
+    metrics.jsonl — a silently dropped F1-RadGraph would otherwise change what
+    the RCB monitor means (round-1 weak #8)."""
     out: Dict[str, float] = {}
+    degraded: List[str] = []
+
+    def failed(name: str, exc: Exception) -> None:
+        degraded.append(f"{name}: {exc}")
+        print(f"[metrics] {name} failed: {exc}", file=sys.stderr)
+
     ck = metrics_cfg.chexbert_checkpoint
     if ck and os.path.exists(ck):
         try:
@@ -36,7 +47,7 @@ def compute_ce_scores(gts: List[str], res: List[str], metrics_cfg) -> Dict[str, 
             out["chexbert_5_macro_f1"] = cr5["macro avg"]["f1-score"]
             out["chexbert_all_macro_f1"] = cr["macro avg"]["f1-score"]
         except Exception as e:
-            print(f"[metrics] CheXbert failed: {e}", file=sys.stderr)
+            failed("CheXbert", e)
     rk = metrics_cfg.radgraph_checkpoint
     if rk:
         try:
@@ -48,14 +59,41 @@ def compute_ce_scores(gts: List[str], res: List[str], metrics_cfg) -> Dict[str, 
             mean_reward, _ = _SCORER_CACHE[key](hyps=res, refs=gts)
             out["F1-Radgraph-" + metrics_cfg.radgraph_reward_level] = mean_reward
         except Exception as e:
-            print(f"[metrics] RadGraph unavailable: {e}", file=sys.stderr)
+            failed("F1-Radgraph", e)
     bk = metrics_cfg.bertscore_checkpoint
     if bk and os.path.exists(bk):
         try:
             from evoke_tpu.evals.adapters import bertscore
             out["BERTScore"] = bertscore(res, gts, bk)
         except Exception as e:
-            print(f"[metrics] BERTScore failed: {e}", file=sys.stderr)
+            failed("BERTScore", e)
+    gk = getattr(metrics_cfg, "green_checkpoint", "")
+    if gk:
+        try:
+            from evoke_tpu.evals.adapters import GreenAdapter
+            key = f"green:{gk}"
+            if key not in _SCORER_CACHE:
+                _SCORER_CACHE[key] = GreenAdapter(gk)
+            green = _SCORER_CACHE[key].score(hyps=res, refs=gts)
+            out["GREEN"] = green["green_mean"]
+            out["GREEN_std"] = green["green_std"]
+        except Exception as e:
+            failed("GREEN", e)
+    nk = getattr(metrics_cfg, "nli_checkpoint", "")
+    if nk:
+        try:
+            from evoke_tpu.evals.adapters import RadEntityNLIScorer
+            key = f"radentity_nli:{nk}"
+            if key not in _SCORER_CACHE:
+                _SCORER_CACHE[key] = RadEntityNLIScorer(
+                    nli_model_path=nk,
+                    bertscore_model_path=metrics_cfg.bertscore_checkpoint or None)
+            mean, _ = _SCORER_CACHE[key](res, gts)
+            out["RadEntityNLI"] = mean
+        except Exception as e:
+            failed("RadEntityNLI", e)
+    if degraded:
+        out["degraded_metrics"] = "; ".join(degraded)
     return out
 
 

@@ -286,7 +286,13 @@ def compute_nlg_scores(gts: TextSet, res: TextSet) -> Dict[str, float]:
     b, _ = bleu(gts, res, 4)
     for i, v in enumerate(b, 1):
         out[f"BLEU_{i}"] = v
-    out["METEOR"], _ = meteor_lite(gts, res)
+    # full METEOR 1.5 scorer; with no wordnet/paraphrase data on disk its
+    # exact+stem behavior is identical to meteor_lite (kept as fallback)
+    try:
+        from evoke_tpu.evals.meteor import Meteor15
+        out["METEOR"], _ = Meteor15()(gts, res)
+    except Exception:
+        out["METEOR"], _ = meteor_lite(gts, res)
     out["ROUGE_L"], _ = rouge_l(gts, res)
     out["CIDer"], _ = cider_d(gts, res)
     return out

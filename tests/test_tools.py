@@ -103,10 +103,12 @@ class TestAdapters:
 
     def test_green_parse(self):
         from evoke_tpu.evals.adapters import GreenAdapter
-        resp = ("Matched Findings: 3\n(a) False report of a finding: 1\n"
-                "(b) Missing a finding: 0\n(c) Misidentification: 0\n")
+        resp = ("[Clinically Significant Errors]:\n"
+                "(a) False report of a finding in the candidate: 1. effusion\n"
+                "(b) Missing a finding present in the reference: 0.\n\n"
+                "[Matched Findings]:\n3. heart; lungs; bones\n")
         assert GreenAdapter.parse_green(resp) == 3 / 4
-        assert GreenAdapter.parse_green("Matched Findings: 0") == 0.0
+        assert GreenAdapter.parse_green("[Matched Findings]:\n0. none\n") == 0.0
 
     def test_bertscore_native(self, tmp_path):
         transformers = pytest.importorskip("transformers")
@@ -156,10 +158,10 @@ class TestGreenParseSections:
     def test_insignificant_errors_ignored(self):
         from evoke_tpu.evals.adapters import GreenAdapter
         resp = ("[Clinically Significant Errors]:\n"
-                "(a) False report of a finding: 1. extra effusion\n"
-                "(b) Missing a finding: 0.\n"
+                "(a) False report of a finding in the candidate: 1. extra effusion\n"
+                "(b) Missing a finding present in the reference: 0.\n\n"
                 "[Clinically Insignificant Errors]:\n"
-                "(a) False report of a finding: 5. styles\n"
+                "(a) False report of a finding in the candidate: 5. styles\n\n"
                 "[Matched Findings]:\n3. heart; lungs; bones\n")
         assert GreenAdapter.parse_green(resp) == 3 / 4  # 5 insignificant not counted
 
