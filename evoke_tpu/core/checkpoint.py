@@ -57,10 +57,12 @@ class CheckpointManager:
             json.dump(meta or {}, f)
 
     def exists(self, name: str) -> bool:
+        self.wait()
         return os.path.isdir(self._slot(name))
 
     def restore(self, name: str, target: Any) -> Tuple[Any, Dict[str, Any]]:
         """Full restore into the structure of ``target`` (shapes must match)."""
+        self.wait()  # an in-flight async save of this slot must land first
         path = self._slot(name)
         restored = self._ckptr.restore(path, item=jax.device_get(target))
         meta = {}
@@ -70,6 +72,7 @@ class CheckpointManager:
         return restored, meta
 
     def restore_raw(self, name: str) -> Any:
+        self.wait()
         return self._ckptr.restore(self._slot(name))
 
     def partial_restore(self, source: Any, target: Any) -> Tuple[Any, Dict[str, int]]:

@@ -60,7 +60,8 @@ class BaseTrainer:
                                                        f"{cfg.trainer.task}.log"))
         self.metrics = MetricWriter(os.path.join(self.result_dir, "metrics.jsonl"))
         cfg.save(os.path.join(self.result_dir, "config.json"))  # run reproducibility
-        self.ckpt = CheckpointManager(os.path.join(self.result_dir, "checkpoint"))
+        self.ckpt = CheckpointManager(os.path.join(self.result_dir, "checkpoint"),
+                                      async_save=cfg.trainer.async_checkpoint)
         self.metrics_fn = metrics_fn
         self.mnt_mode = cfg.monitor_mode
         self.mnt_metric = "val_" + cfg.monitor_metric
@@ -186,6 +187,7 @@ class BaseTrainer:
 
             if epoch % self.cfg.trainer.save_period == 0:
                 self._save(epoch, best)
+        self.ckpt.wait()  # drain any in-flight async save before returning
         self._print_best_to_file()
         return log
 

@@ -60,6 +60,46 @@ class TestCheckpointManager:
         assert report["loaded"] == 1
 
 
+class TestAsyncCheckpoint:
+    """async_save=True: saves overlap the epoch loop; restore waits for the
+    in-flight save (round-2 wiring of SURVEY §5.3)."""
+
+    def _state(self, scale=1.0):
+        return {"params": {"a": jnp.ones((64, 64)) * scale}, "step": jnp.int32(3)}
+
+    def test_async_save_then_restore(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=True)
+        mgr.save("current", self._state(5.0), meta={"epoch": 1, "monitor_best": 0.1})
+        # no explicit wait: restore must drain the in-flight save itself
+        restored, meta = mgr.restore("current", self._state(0.0))
+        np.testing.assert_allclose(np.asarray(restored["params"]["a"]), 5.0)
+        assert meta["epoch"] == 1
+
+    def test_async_overlapping_saves_serialize(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=True)
+        for i in range(3):  # back-to-back saves: each waits for the previous
+            mgr.save("current", self._state(float(i)))
+        mgr.wait()
+        restored, _ = mgr.restore("current", self._state(0.0))
+        np.testing.assert_allclose(np.asarray(restored["params"]["a"]), 2.0)
+
+    def test_trainer_uses_async_by_default(self):
+        from evoke_tpu.core.config import EvokeConfig
+        assert EvokeConfig().trainer.async_checkpoint is True
+
+
+class TestDegradedMetricsVisible:
+    def test_configured_but_failing_metric_lands_in_output(self):
+        from evoke_tpu.core.config import MetricsConfig
+        from evoke_tpu.evals.composite import compute_all_scores
+        cfg = MetricsConfig(radgraph_checkpoint="/nonexistent/radgraph")
+        out = compute_all_scores(["the heart is normal ."], ["the heart is normal ."],
+                                 cfg)
+        assert "degraded_metrics" in out
+        assert "F1-Radgraph" in out["degraded_metrics"]
+        assert "BLEU_4" in out  # NLG still computed
+
+
 class TestCSVContracts:
     def test_prediction_csv_metric_rows_and_epoch_columns(self, tmp_path):
         p = str(tmp_path / "test_prediction.csv")
