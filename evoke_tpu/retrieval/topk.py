@@ -16,6 +16,7 @@ running top-k buffer merges per chunk.
 
 from __future__ import annotations
 
+import hashlib
 import json
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -25,6 +26,15 @@ import jax.numpy as jnp
 import numpy as np
 
 NEG_INF = -1e30
+
+
+def stable_code(key: str) -> int:
+    """Process-independent 63-bit study code (sha1-based).
+
+    Python's ``hash()`` is salted per process, which would silently break
+    same-study exclusion for any saved/reloaded embedding DB and make index
+    artifacts irreproducible across runs."""
+    return int.from_bytes(hashlib.sha1(key.encode()).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -95,8 +105,8 @@ def encode_corpus(encode_fn, loader, flatten: bool = True
             e = out[i]
             embs.append(e.reshape(-1) if flatten else e)
             ids.append(batch["_image_ids"][i])
-            codes.append(hash(batch["_study_keys"][i]) & 0x7FFFFFFF
-                         if "_study_keys" in batch else hash(batch["_image_ids"][i]) & 0x7FFFFFFF)
+            codes.append(stable_code(batch["_study_keys"][i])
+                         if "_study_keys" in batch else stable_code(batch["_image_ids"][i]))
     return np.stack(embs), np.asarray(codes, np.int64), ids
 
 

@@ -75,3 +75,27 @@ class TestRetrievalQuality:
         assert out["n_scored"] == 2
         assert out["retrieved_top1_BLEU_4"] > 0.3
         assert out["retrieved_top1_ROUGE_L"] > out["retrieved_topk_mean_BLEU_4"] * 0  # finite
+
+
+class TestStableCodes:
+    """Study codes must be identical across processes (round-1 used salted
+    Python hash(): saved embedding DBs would silently break same-study
+    exclusion). Pinned value = sha1-based digest, PYTHONHASHSEED-independent."""
+
+    def test_pinned_value(self):
+        from evoke_tpu.retrieval.topk import stable_code
+        assert stable_code("p1_s1") == 1126395983725305348
+
+    def test_cross_process_identical(self):
+        import subprocess
+        import sys
+
+        code = ("import sys; sys.path.insert(0, '/root/repo'); "
+                "from evoke_tpu.retrieval.topk import stable_code; "
+                "print(stable_code('p1_s1'))")
+        outs = {subprocess.run([sys.executable, "-c", code],
+                               env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin",
+                                    "JAX_PLATFORMS": "cpu"},
+                               capture_output=True, text=True).stdout.strip()
+                for seed in ("0", "42")}
+        assert outs == {"1126395983725305348"}
