@@ -86,20 +86,28 @@ class F1RadGraphAdapter:
 
 def radgraph_serialize(reports: List[str], model_path: Optional[str] = None
                        ) -> List[List[str]]:
-    """RadGraph NER -> core_findings keyword lists (factual serialization NER hook)."""
+    """RadGraph NER -> ORDERED core_findings sentences (factual serialization
+    NER hook): entity spans are grouped per sentence with no/maybe modifiers via
+    tools.factual_serialization.entities_to_core_findings — the reference's
+    entity-graph traversal (factual_serialization.py:197-286), not a bag of
+    entity tokens."""
     try:
         from radgraph import RadGraph  # type: ignore
     except ImportError as e:
         raise MetricUnavailable("radgraph package not installed") from e
+    from evoke_tpu.tools.factual_serialization import entities_to_core_findings
+
     rg = RadGraph(model_path=model_path) if model_path else RadGraph()
     annotations = rg(reports)
     out: List[List[str]] = []
-    for i in range(len(reports)):
+    for i, report in enumerate(reports):
         ann = annotations.get(str(i), {}) if isinstance(annotations, dict) else {}
-        ents = ann.get("entities", {})
-        toks = [e.get("tokens", "") for e in ents.values()
-                if "ANAT" in e.get("label", "") or "OBS" in e.get("label", "")]
-        out.append([t for t in toks if t])
+        tokens = (ann.get("text") or report).split()
+        spans = sorted(
+            (int(e["start_ix"]), int(e["end_ix"]), str(e.get("label", "")))
+            for e in ann.get("entities", {}).values()
+            if "start_ix" in e and "end_ix" in e)
+        out.append(entities_to_core_findings(tokens, spans))
     return out
 
 

@@ -190,3 +190,109 @@ class TestNLIScorer:
             ["the heart is normal .", "no effusion ."],
             ["the heart is normal .", "lungs clear ."])
         assert len(probs) == 2 and all(0.0 <= p <= 1.0 for p in probs)
+
+
+class TestOrderedFactualSerialization:
+    """The reference's entity-graph -> ordered core_findings pipeline
+    (factual_serialization.py:197-286,577-608), testable without RadGraph."""
+
+    def test_per_sentence_grouping_and_negation(self):
+        from evoke_tpu.tools.factual_serialization import entities_to_core_findings
+        tokens = ("the lungs are clear . no pleural effusion or pneumothorax . "
+                  "possible mild edema .").split()
+        ents = [
+            (1, 1, "ANAT-DP"),      # lungs
+            (3, 3, "OBS-DP"),       # clear
+            (6, 7, "OBS-DA"),       # pleural effusion (definitely absent)
+            (9, 9, "OBS-DA"),       # pneumothorax
+            (12, 13, "OBS-U"),      # mild edema (uncertain)
+        ]
+        out = entities_to_core_findings(tokens, ents)
+        assert out == ["lungs clear", "no pleural effusion pneumothorax",
+                       "maybe mild edema"]
+
+    def test_useless_single_finding_dropped(self):
+        from evoke_tpu.tools.factual_serialization import entities_to_core_findings
+        tokens = "It is unremarkable . heart normal .".split()
+        ents = [(0, 0, "OBS-DP"), (4, 4, "ANAT-DP"), (5, 5, "OBS-DP")]
+        assert entities_to_core_findings(tokens, ents) == ["heart normal"]
+
+    def test_overlap_resolution_prefers_longer(self):
+        from evoke_tpu.tools.factual_serialization import resolve_overlapping_entities
+        tokens = "left lower lobe opacity .".split()
+        ents = [(0, 1, "ANAT-DP"), (0, 2, "ANAT-DP")]
+        assert resolve_overlapping_entities(ents, tokens) == [(0, 2, "ANAT-DP")]
+
+    def test_jsonl_and_merge(self):
+        import json as _json
+        from evoke_tpu.tools.factual_serialization import (merge_core_findings,
+                                                           radgraph_jsonl_to_entities)
+        line = _json.dumps({
+            "doc_key": "p1_s1",
+            "sentences": [["no", "effusion", "."]],
+            "predicted_ner": [[[1, 1, "OBS-DA"]]],
+        })
+        ents = radgraph_jsonl_to_entities([line])
+        assert ents["p1_s1"]["core_findings"] == ["no effusion"]
+        ann = {"train": [
+            {"id": "a", "subject_id": "p1", "study_id": "s1", "report": "raw"},
+            {"id": "b", "subject_id": "p2", "study_id": "s2",
+             "report": "heart,normal."},
+        ]}
+        merged = merge_core_findings(ann, ents)
+        assert merged["train"][0]["core_findings"] == ["no effusion"]
+        assert merged["train"][0]["report"] == "no effusion ."
+        # fallback: punctuation gets spaced, empty core_findings
+        assert merged["train"][1]["core_findings"] == []
+        assert merged["train"][1]["report"] == "heart , normal . "
+
+
+class TestBenchmarkMetadataMerge:
+    def test_view_positions_from_metadata_csv(self, tmp_path):
+        from evoke_tpu.tools.benchmark_builder import (load_mimic_view_positions,
+                                                       view_positions_for_item)
+        csv_path = tmp_path / "meta.csv"
+        csv_path.write_text(
+            "dicom_id,subject_id,study_id,ViewPosition\n"
+            "d1,10,100,PA\nd2,10,100,LATERAL\nd3,11,101,\n")
+        meta = load_mimic_view_positions(str(csv_path))
+        assert meta["10_100_d1"] == "PA"
+        assert meta["11_101_d3"] == "unk"
+        item = {"id": "10_100", "image_path": ["files/p10/s100/d1.jpg"],
+                "multiview_image_path": ["files/p10/s100/d2.jpg"]}
+        assert view_positions_for_item(item, meta) == ["PA", "LATERAL"]
+
+    def test_merged_benchmark_mimic_plus_iu(self, tmp_path):
+        from evoke_tpu.tools.benchmark_builder import build_benchmark_merged
+        mimic = {"train": [
+            {"id": "10_100", "report": "findings text", "core_findings": ["x"],
+             "image_path": ["a/d1.jpg", "a/d2.jpg"],
+             "indication_core_findings": "cough",
+             "specific_knowledge": {"reports": ["r"]}},
+            {"id": "10_101", "report": "single view", "core_findings": ["y"],
+             "image_path": ["a/d3.jpg"]},                       # < 2 views: dropped
+            {"id": "10_102", "report": "no findings", "core_findings": [],
+             "image_path": ["a/d4.jpg", "a/d5.jpg"]},            # empty cf: dropped
+        ], "val": [], "test": []}
+        meta = {"10_100_d1": "PA", "10_100_d2": "AP"}
+        iu = {"train": [
+            {"id": "CXR7_IM-2263-1001", "report": "iu findings",
+             "core_findings": ["z"], "image_path": ["CXR7_IM-2263/0.jpg",
+                                                    "CXR7_IM-2263/1.jpg"],
+             "indication_core_findings": "pain , ,, fever"},
+        ], "val": [], "test": []}
+        iu_meta = {"CXR7": {"image_path": ["CXR7_IM-2263/0.jpg",
+                                           "CXR7_IM-2263/1.jpg"],
+                            "comparison": "none ."}}
+        out = build_benchmark_merged(mimic, meta, iu, iu_meta)
+        assert len(out["train"]) == 2
+        m = out["train"][0]
+        assert m["view_position"] == ["PA", "AP"]
+        assert m["findings_factual_serialization"] == ["x"]
+        u = out["train"][1]
+        assert u["id"] == "CXR7"
+        assert u["image_path"] == ["NLMCXR_png/CXR7_IM-2263/0.png",
+                                   "NLMCXR_png/CXR7_IM-2263/1.png"]
+        assert u["view_position"] == ["unk", "unk"]
+        assert u["comparison"] == "none ."
+        assert ",," not in u["indication_pure"]
