@@ -1,8 +1,12 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from evoke_tpu.models.cmn import CMNDecoder, MultiThreadMemory
+
+pytestmark = pytest.mark.slow  # full-model CPU compiles: run via the slow lane
+
 
 KEY = jax.random.key(0)
 

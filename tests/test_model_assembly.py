@@ -6,6 +6,9 @@ import pytest
 from evoke_tpu.models.finetune import FinetuneModel
 from evoke_tpu.models.pretrain import PretrainModel
 
+pytestmark = pytest.mark.slow  # full-model CPU compiles: run via the slow lane
+
+
 KEY = jax.random.key(0)
 
 SMALL = dict(d_vf=2048, output_dim=64, encoder_hidden_size=32, encoder_num_layers=1,

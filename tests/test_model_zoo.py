@@ -10,6 +10,9 @@ from evoke_tpu.models.causal_decoder import CausalDecoder
 from evoke_tpu.models.finetune import FinetuneModel
 from evoke_tpu.models.vit import ViTExtractor
 
+pytestmark = pytest.mark.slow  # full-model CPU compiles: run via the slow lane
+
+
 KEY = jax.random.key(0)
 
 

@@ -1,6 +1,7 @@
 """Parallelism tests: explicit shard_map collectives == GSPMD == single device;
 TP-sharded params give the same math as replicated; dp x mp composes."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +11,9 @@ from evoke_tpu.losses.contrastive import multi_positive_image_loss
 from evoke_tpu.parallel.collectives import make_shardmap_loss
 from evoke_tpu.parallel.tp import shard_params_tp, tp_spec_for_path
 from jax.sharding import PartitionSpec as P
+
+pytestmark = pytest.mark.slow  # full-model CPU compiles: run via the slow lane
+
 
 
 class TestShardMapCollectives:

@@ -18,6 +18,8 @@ from evoke_tpu.train.optim import build_optimizer
 from evoke_tpu.train.steps import (create_train_state, make_eval_step, make_generate_step,
                                    make_train_step)
 
+pytestmark = pytest.mark.slow  # full-model CPU compiles: run via the slow lane
+
 KEY = jax.random.key(42)
 
 SMALL = dict(output_dim=32, encoder_hidden_size=32, encoder_num_layers=1,

@@ -21,6 +21,9 @@ from evoke_tpu.train.optim import build_optimizer
 from evoke_tpu.train.steps import create_train_state
 from evoke_tpu.train.trainer import FinetuneTrainer, PretrainTrainer, Tester
 
+pytestmark = pytest.mark.slow  # full-model CPU compiles: run via the slow lane
+
+
 KEY = jax.random.key(0)
 SMALL = dict(output_dim=32, encoder_hidden_size=32, encoder_num_layers=1,
              encoder_num_heads=2, encoder_intermediate_size=64)
