@@ -37,6 +37,7 @@ def build_model(cfg, vocab_size: int, task: str):
         return PretrainModel(instance_temp=cfg.loss.instance_temp,
                              region_temp=cfg.loss.region_temp,
                              pretrain_loss=cfg.loss.pretrain_loss,
+                             mul_pos_formulation=cfg.loss.mul_pos_formulation,
                              mask_local_pad=cfg.loss.mask_local_pad, **common)
     return FinetuneModel(
         fusion_num_heads=cfg.model.fusion_num_heads,

@@ -96,6 +96,7 @@ class LossConfig:
     instance_temp: float = 0.5
     region_temp: float = 0.5
     pretrain_loss: str = "all"                   # all | mpc | mpc+global | mpc+local | global+local
+    mul_pos_formulation: str = "soft"            # soft (Pretrain) | avg (PretrainNewMulPos)
     # The reference computes local token alignment over pad positions too
     # (model_pretrain_finetune_v0425_ablation.py:344-364 uses no mask). We default
     # to masking pads (sounder); set False for behavioral parity with the reference.

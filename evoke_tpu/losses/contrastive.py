@@ -67,6 +67,38 @@ def multi_positive_image_loss(global_image_embed: jnp.ndarray, pid_codes: jnp.nd
     return _soft_ce(logits, targets, has_partner)
 
 
+def multi_positive_image_loss_avg(global_image_embed: jnp.ndarray,
+                                  pid_codes: jnp.ndarray, valid: jnp.ndarray,
+                                  temp: float) -> jnp.ndarray:
+    """PretrainNewMulPos's alternative multi-positive formulation
+    (EVOKE models/model_pretrain_finetune_v0425_ori.py:665-702,
+    ``multi_pos_contra_images_v0404``): instead of soft-target rows, the
+    logits of all positives are AVERAGED into one positive logit and
+    cross-entropied against the row's negatives. Columns are NOT restricted
+    to multiview samples (one-view samples stay as negatives), matching the
+    reference; the per-row Python loop is vectorized."""
+    eq = (pid_codes[:, None] == pid_codes[None, :]) & valid[:, None] & valid[None, :]
+    b = pid_codes.shape[0]
+    eye = jnp.eye(b, dtype=bool)
+    pos = eq & ~eye
+    has_partner = pos.any(-1)
+
+    e = _l2_normalize(global_image_embed.astype(jnp.float32))
+    logits = (e @ e.T) / temp
+    logits = jnp.where(eye, NEG_INF, logits)          # fill_diagonal_(-1e9)
+    logits = jnp.where(valid[None, :], logits, NEG_INF)  # padded rows are no columns
+    logits = logits - jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+
+    n_pos = jnp.maximum(pos.sum(-1), 1)
+    pos_logit = jnp.sum(jnp.where(pos, logits, 0.0), axis=-1) / n_pos      # [B]
+    neg = jnp.where(pos | eye | ~valid[None, :], NEG_INF, logits)          # [B, B]
+    # CE over [pos_logit, negatives...] with label 0
+    lse = jnp.logaddexp(pos_logit, jax.nn.logsumexp(neg, axis=-1))
+    per_row = lse - pos_logit
+    rm = has_partner.astype(jnp.float32)
+    return jnp.sum(per_row * rm) / jnp.maximum(jnp.sum(rm), 1.0)
+
+
 def global_alignment_loss(global_image_embed: jnp.ndarray, global_text_embed: jnp.ndarray,
                           pid_codes: jnp.ndarray, valid: jnp.ndarray, temp: float
                           ) -> jnp.ndarray:

@@ -16,7 +16,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from evoke_tpu.losses.contrastive import (global_alignment_loss, local_token_alignment_loss,
-                                          multi_positive_image_loss)
+                                          multi_positive_image_loss,
+                                          multi_positive_image_loss_avg)
 from evoke_tpu.models.fusion import MultiviewFusion
 from evoke_tpu.models.heads import ProjectionHead
 from evoke_tpu.models.resnet import VisualExtractor
@@ -39,6 +40,9 @@ class PretrainModel(nn.Module):
     region_temp: float = 0.5
     is_multiview_learning: bool = True
     pretrain_loss: str = "all"         # all | mpc | mpc+global | mpc+local | global+local
+    # soft = v0401 soft-target rows (Pretrain); avg = PretrainNewMulPos's
+    # averaged-positive-logit formulation (v0425_ori.py:573,665)
+    mul_pos_formulation: str = "soft"
     mask_local_pad: bool = True
     dtype: Dtype = jnp.float32
 
@@ -90,7 +94,9 @@ class PretrainModel(nn.Module):
         mul_pos = zero
         if self.is_multiview_learning:
             # over ALL images (anchors + auxiliaries), on raw global feats (:374-377)
-            mul_pos = multi_positive_image_loss(raw_global, pid_codes, valid, self.region_temp)
+            mp_fn = (multi_positive_image_loss_avg if self.mul_pos_formulation == "avg"
+                     else multi_positive_image_loss)
+            mul_pos = mp_fn(raw_global, pid_codes, valid, self.region_temp)
 
         if self.pretrain_loss == "mpc":
             return {"multiview_loss": mul_pos, "instance_loss": zero,

@@ -4,7 +4,7 @@ Capability parity: EVOKE modules/factual_serialization.py — run RadGraph NER
 over reports and turn entity graphs into ordered ``core_findings`` keyword
 lists; also extract the indication-section serialization. The RadGraph
 AllenNLP/DyGIE stack is a host-side dependency (SURVEY §2.12) exposed through
-evals/radgraph.py when installed; this module provides the orchestration plus a
+evals/adapters.py when installed; this module provides the orchestration plus a
 dependency-free heuristic extractor so the pipeline runs end-to-end without it
 (sentence-wise stopword-filtered noun-ish phrases — clearly marked lower
 fidelity than RadGraph).
@@ -197,7 +197,7 @@ def serialize_annotation(ann: Dict[str, List[dict]],
                          batch_size: int = 64) -> Dict[str, List[dict]]:
     """Fill core_findings + indication_core_findings for every item.
 
-    ner_fn: texts -> list of keyword lists (e.g. evals.radgraph.radgraph_serialize);
+    ner_fn: texts -> list of keyword lists (e.g. evals.adapters.radgraph_serialize);
     falls back to the heuristic extractor.
     """
     for split, items in ann.items():
@@ -223,7 +223,7 @@ def serialize_file(ann_path: str, out_path: str, use_radgraph: bool = True) -> s
     ner_fn = None
     if use_radgraph:
         try:
-            from evoke_tpu.evals.radgraph import radgraph_serialize
+            from evoke_tpu.evals.adapters import radgraph_serialize
             ner_fn = radgraph_serialize
         except Exception:
             ner_fn = None

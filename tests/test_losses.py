@@ -156,3 +156,55 @@ class TestGlobalBatchSemanticsUnderDP:
         fn = jax.jit(lambda d: multi_positive_image_loss(d["e"], d["p"], d["v"], 0.5))
         sharded = fn(batch)
         np.testing.assert_allclose(float(sharded), float(single), rtol=1e-5)
+
+
+class TestMultiPositiveAvgFormulation:
+    """PretrainNewMulPos's multi_pos_contra_images_v0404
+    (v0425_ori.py:665-702): positives' logits AVERAGED into one logit, CE
+    against the row's negatives (incl. one-view samples as negatives)."""
+
+    def _naive(self, embed, pids, temp):
+        from evoke_tpu.losses.contrastive import _l2_normalize  # noqa: F401
+        labels = (pids[:, None] == pids[None, :]).astype(float)
+        np.fill_diagonal(labels, 0.0)
+        idx = np.where(labels.sum(1) != 0)[0]
+        if len(idx) == 0:
+            return 0.0
+        e = embed / np.linalg.norm(embed, axis=-1, keepdims=True)
+        logits = e @ e.T / temp
+        np.fill_diagonal(logits, -1e9)
+        logits = logits - logits.max(-1, keepdims=True)
+        total = 0.0
+        for i in idx:  # the reference's per-row loop, literally
+            pos_mask = labels[i] != 0
+            pos_logit = logits[i][pos_mask].sum() / pos_mask.sum()
+            neg_logit = logits[i][~pos_mask]
+            row = np.concatenate([[pos_logit], neg_logit])
+            total += -(row[0] - np.log(np.exp(row).sum()))
+        return total / len(idx)
+
+    def test_matches_reference_math(self, rng):
+        from evoke_tpu.losses.contrastive import multi_positive_image_loss_avg
+        embed = rng.normal(size=(6, 8)).astype(np.float32)
+        pids = np.array([0, 0, 1, 2, 2, 2])
+        got = multi_positive_image_loss_avg(jnp.asarray(embed), jnp.asarray(pids),
+                                            jnp.ones(6, bool), 0.5)
+        np.testing.assert_allclose(float(got), self._naive(embed, pids, 0.5), rtol=1e-4)
+
+    def test_no_pairs_returns_zero(self, rng):
+        from evoke_tpu.losses.contrastive import multi_positive_image_loss_avg
+        embed = rng.normal(size=(4, 8)).astype(np.float32)
+        got = multi_positive_image_loss_avg(jnp.asarray(embed),
+                                            jnp.asarray(np.arange(4)),
+                                            jnp.ones(4, bool), 0.5)
+        assert float(got) == 0.0
+
+    def test_padding_rows_ignored(self, rng):
+        from evoke_tpu.losses.contrastive import multi_positive_image_loss_avg
+        embed = rng.normal(size=(6, 8)).astype(np.float32)
+        pids = np.array([0, 0, 1, 1, 7, 7])
+        valid = np.array([True] * 4 + [False] * 2)
+        got = multi_positive_image_loss_avg(jnp.asarray(embed), jnp.asarray(pids),
+                                            jnp.asarray(valid), 0.5)
+        np.testing.assert_allclose(float(got), self._naive(embed[:4], pids[:4], 0.5),
+                                   rtol=1e-4)
