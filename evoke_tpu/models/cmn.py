@@ -198,11 +198,14 @@ class CMNDecoder(nn.Module):
                           ) -> Dict[str, Any]:
         lmax = max_len or self.max_seq_len
         cross = [layer.prepare_cross_kv(enc) for layer in self.dec_layers]
+        # per-layer tuples: keeps in-place cache updates independent of XLA
+        # fusing the stacked layout's unstack/restack (measured neutral on v5e)
+        zeros = lambda: jnp.zeros((batch, lmax, self.d_model), self.dtype)
         return {
-            "cache_k": jnp.zeros((self.num_layers, batch, lmax, self.d_model), self.dtype),
-            "cache_v": jnp.zeros((self.num_layers, batch, lmax, self.d_model), self.dtype),
-            "cross_k": jnp.stack([c[0] for c in cross]),
-            "cross_v": jnp.stack([c[1] for c in cross]),
+            "cache_k": tuple(zeros() for _ in range(self.num_layers)),
+            "cache_v": tuple(zeros() for _ in range(self.num_layers)),
+            "cross_k": tuple(c[0] for c in cross),
+            "cross_v": tuple(c[1] for c in cross),
         }
 
     def decode_step(self, tok, pos, state, att_mask):
@@ -218,5 +221,5 @@ class CMNDecoder(nn.Module):
             new_v.append(cv)
         x = self.dec_norm(x)
         logp = jax.nn.log_softmax(self.logit(x)[:, 0, :].astype(jnp.float32), axis=-1)
-        return logp, {"cache_k": jnp.stack(new_k), "cache_v": jnp.stack(new_v),
+        return logp, {"cache_k": tuple(new_k), "cache_v": tuple(new_v),
                       "cross_k": state["cross_k"], "cross_v": state["cross_v"]}

@@ -261,15 +261,21 @@ class RMDecoder(nn.Module):
 
     def init_decode_state(self, enc, batch: int, max_len: Optional[int] = None
                           ) -> Dict[str, Any]:
-        """Build the decode carry: relational memory + per-layer KV caches + cross K/V."""
+        """Build the decode carry: relational memory + per-layer KV caches + cross K/V.
+
+        Caches are PER-LAYER tuples, not one stacked [L, B, T, D] array, so
+        each layer's dynamic_update_slice stands alone in the loop carry
+        (measured neutral vs the stacked layout on v5e — XLA already fused the
+        unstack/restack — but the aliasing no longer depends on that fusion)."""
         lmax = max_len or self.max_seq_len
         cross = [layer.prepare_cross_kv(enc) for layer in self.dec_layers]
+        zeros = lambda: jnp.zeros((batch, lmax, self.d_model), self.dtype)
         return {
             "memory": self.rm.init_memory(batch),
-            "cache_k": jnp.zeros((self.num_layers, batch, lmax, self.d_model), self.dtype),
-            "cache_v": jnp.zeros((self.num_layers, batch, lmax, self.d_model), self.dtype),
-            "cross_k": jnp.stack([c[0] for c in cross]),
-            "cross_v": jnp.stack([c[1] for c in cross]),
+            "cache_k": tuple(zeros() for _ in range(self.num_layers)),
+            "cache_v": tuple(zeros() for _ in range(self.num_layers)),
+            "cross_k": tuple(c[0] for c in cross),
+            "cross_v": tuple(c[1] for c in cross),
         }
 
     def decode_step(self, tok, pos, state, att_mask):
@@ -291,8 +297,8 @@ class RMDecoder(nn.Module):
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         new_state = {
             "memory": mem,
-            "cache_k": jnp.stack(new_k),
-            "cache_v": jnp.stack(new_v),
+            "cache_k": tuple(new_k),
+            "cache_v": tuple(new_v),
             "cross_k": state["cross_k"],
             "cross_v": state["cross_v"],
         }
