@@ -355,6 +355,74 @@ def _import_rm_decoder(params: Dict, sd, report: Dict[str, int]) -> None:
     _assign(params, ["logit", "bias"], sd("logit.bias"), report, "logit")
 
 
+def import_gpt2_decoder(state_dict: Dict[str, np.ndarray], variables: Dict
+                        ) -> Tuple[Dict, Dict[str, int]]:
+    """Map an HF GPT-2 (distilgpt2) state_dict onto CausalDecoder params.
+
+    Mirrors the reference's DistilGPT2TextDecoderModel construction
+    (language_model.py:161 — GPT2LMHeadModel inside an EncoderDecoderModel):
+    the causal-LM stack loads from the checkpoint, cross-attention blocks stay
+    freshly initialized (HF adds them randomly too). GPT-2 Conv1D weights are
+    stored [in, out] (no transpose); c_attn is fused qkv, split here. The
+    position table is sliced to our max_positions; token embeddings load when
+    the vocab matches (ignore_mismatched_sizes semantics otherwise)."""
+    import jax
+
+    state_dict = _strip_module(state_dict)
+    if any(k.startswith("transformer.") for k in state_dict):
+        state_dict = _sub_dict(state_dict, "transformer.")
+    variables = jax.tree_util.tree_map(np.asarray, jax.device_get(variables))
+    params = variables["params"] if "params" in variables else variables
+    report = {"loaded": 0, "mismatched": 0, "missing": 0}
+
+    wte = state_dict.get("wte.weight")
+    if wte is not None:
+        _assign(params, ["tok_embed", "embedding"], wte, report, "wte")
+        # tied LM head: logit kernel = wte^T (when the vocab matches)
+        _assign(params, ["logit", "kernel"], np.transpose(wte), report, "lm_head")
+    wpe = state_dict.get("wpe.weight")
+    if wpe is not None:
+        n_pos = np.shape(params["pos_embed"]["embedding"])[0]
+        _assign(params, ["pos_embed", "embedding"], wpe[:n_pos], report, "wpe")
+
+    n_layers = len([k for k in params if k.startswith("layer_")])
+    for i in range(n_layers):
+        if f"h.{i}.ln_1.weight" not in state_dict:
+            continue
+        lp = params[f"layer_{i}"]
+        _assign(lp, ["ln1", "scale"], state_dict[f"h.{i}.ln_1.weight"], report, "ln_1")
+        _assign(lp, ["ln1", "bias"], state_dict[f"h.{i}.ln_1.bias"], report, "ln_1")
+        ca_w = state_dict[f"h.{i}.attn.c_attn.weight"]      # [d, 3d], already [in, out]
+        ca_b = state_dict[f"h.{i}.attn.c_attn.bias"]
+        d = ca_w.shape[0]
+        for j, name in enumerate(("wq", "wk", "wv")):
+            _assign(lp, ["self_attn", name, "kernel"], ca_w[:, j * d:(j + 1) * d],
+                    report, "c_attn")
+            _assign(lp, ["self_attn", name, "bias"], ca_b[j * d:(j + 1) * d],
+                    report, "c_attn")
+        _assign(lp, ["self_attn", "wo", "kernel"], state_dict[f"h.{i}.attn.c_proj.weight"],
+                report, "c_proj")
+        _assign(lp, ["self_attn", "wo", "bias"], state_dict[f"h.{i}.attn.c_proj.bias"],
+                report, "c_proj")
+        # GPT-2's pre-FFN norm maps to our ln3 (ln2 guards the added cross block)
+        _assign(lp, ["ln3", "scale"], state_dict[f"h.{i}.ln_2.weight"], report, "ln_2")
+        _assign(lp, ["ln3", "bias"], state_dict[f"h.{i}.ln_2.bias"], report, "ln_2")
+        _assign(lp, ["ff", "Dense_0", "kernel"], state_dict[f"h.{i}.mlp.c_fc.weight"],
+                report, "mlp")
+        _assign(lp, ["ff", "Dense_0", "bias"], state_dict[f"h.{i}.mlp.c_fc.bias"],
+                report, "mlp")
+        _assign(lp, ["ff", "Dense_1", "kernel"], state_dict[f"h.{i}.mlp.c_proj.weight"],
+                report, "mlp")
+        _assign(lp, ["ff", "Dense_1", "bias"], state_dict[f"h.{i}.mlp.c_proj.bias"],
+                report, "mlp")
+    _assign(params, ["final_ln", "scale"], state_dict["ln_f.weight"], report, "ln_f")
+    _assign(params, ["final_ln", "bias"], state_dict["ln_f.bias"], report, "ln_f")
+    if "params" in variables:
+        variables["params"] = params
+        return variables, report
+    return params, report
+
+
 def import_finetune_checkpoint(state_dict: Dict[str, np.ndarray], variables: Dict
                                ) -> Tuple[Dict, Dict[str, int]]:
     """Map a full EVOKE FineTune state_dict (the released ``model_best.pth``

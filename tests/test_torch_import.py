@@ -197,3 +197,51 @@ class TestBertImport:
         imported, report = import_bert_encoder(sd, variables)
         assert report["mismatched"] >= 1  # word embeddings skipped
         assert report["loaded"] > 10
+
+
+class TestGPT2DecoderImport:
+    """distilgpt2-format import into CausalDecoder (language_model.py:161
+    semantics: LM stack loads, cross-attention stays fresh)."""
+
+    def _tiny_gpt2_sd(self, vocab=33, d=16, layers=2, positions=64):
+        transformers = pytest.importorskip("transformers")
+        from transformers import GPT2Config, GPT2LMHeadModel
+
+        cfg = GPT2Config(vocab_size=vocab, n_embd=d, n_layer=layers, n_head=2,
+                         n_positions=positions)
+        torch.manual_seed(0)
+        model = GPT2LMHeadModel(cfg)
+        return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    def test_import_counts_and_values(self):
+        from evoke_tpu.models.causal_decoder import CausalDecoder
+        from evoke_tpu.models.torch_import import import_gpt2_decoder
+
+        vocab, d = 32, 16  # our tok_embed is vocab+1 = GPT2's 33
+        dec = CausalDecoder(vocab_size=vocab, d_model=d, d_ff=4 * d, d_vf=8,
+                            num_layers=2, num_heads=2, max_seq_len=8, max_positions=16)
+        rng = np.random.default_rng(0)
+        att = jnp.asarray(rng.normal(size=(2, 3, 8)), jnp.float32)
+        mask = jnp.ones((2, 3), jnp.int32)
+        ids = jnp.asarray(rng.integers(0, vocab, (2, 8)), jnp.int32)
+        variables = dec.init(KEY, att, mask, ids, jnp.ones_like(ids))
+        variables = jax.device_get(variables)
+
+        sd = self._tiny_gpt2_sd(vocab=vocab + 1, d=d, layers=2, positions=64)
+        new_vars, report = import_gpt2_decoder(sd, dict(variables))
+        assert report["mismatched"] == 0, report
+        # wte + lm_head + wpe + 2 layers x 16 + ln_f x 2 = 37 tensors
+        assert report["loaded"] == 37, report
+        p = new_vars["params"]
+        np.testing.assert_allclose(np.asarray(p["tok_embed"]["embedding"]),
+                                   sd["transformer.wte.weight"])
+        # position table sliced to our max_positions
+        np.testing.assert_allclose(np.asarray(p["pos_embed"]["embedding"]),
+                                   sd["transformer.wpe.weight"][:16])
+        # fused qkv split: wq == first third of c_attn
+        np.testing.assert_allclose(
+            np.asarray(p["layer_0"]["self_attn"]["wq"]["kernel"]),
+            sd["transformer.h.0.attn.c_attn.weight"][:, :d])
+        # forward still runs with imported weights
+        out = dec.apply(new_vars, att, mask, ids, jnp.ones_like(ids))
+        assert np.isfinite(np.asarray(out)).all()
