@@ -97,6 +97,42 @@ def compute_ce_scores(gts: List[str], res: List[str], metrics_cfg) -> Dict[str, 
     return out
 
 
+def compute_chexbert_details_scores(gts: List[str], res: List[str], metrics_cfg
+                                    ) -> Dict[str, list]:
+    """Per-condition CheXbert table (reference metrics.py:97-115): for each of
+    the 14 conditions, [prevalence% (support), precision, recall, f1]; avg rows
+    keep '-' in the support column."""
+    from evoke_tpu.evals.chexbert import F1CheXbert
+
+    ck = metrics_cfg.chexbert_checkpoint
+    key = f"chexbert:{ck}"
+    if key not in _SCORER_CACHE:
+        tok_dir = metrics_cfg.chexbert_tokenizer_checkpoint or os.path.dirname(ck)
+        _SCORER_CACHE[key] = F1CheXbert(ck, tok_dir)
+    _, _, chexbert_all, _ = _SCORER_CACHE[key](hyps=res, refs=gts)
+    chexbert_all = {k: v for k, v in chexbert_all.items()
+                    if k not in ("weighted avg", "samples avg")}
+    sample_num = chexbert_all["micro avg"]["support"]
+    out: Dict[str, list] = {}
+    for cond, v in chexbert_all.items():
+        lead = ("-" if "avg" in cond else
+                f"{round(v['support'] * 100 / sample_num, 1)} ({int(v['support'])})")
+        out[cond] = [lead, round(v["precision"], 3), round(v["recall"], 3),
+                     round(v["f1-score"], 3)]
+    return out
+
+
+def compute_b4_rg(gts: List[str], res: List[str], metrics_cfg) -> Dict[str, str]:
+    """The reference's 'B4 & RG' summary cell (metrics.py:117-142)."""
+    from evoke_tpu.evals.nlg import bleu
+
+    b, _ = bleu({str(i): [g] for i, g in enumerate(gts)},
+                {str(i): [r] for i, r in enumerate(res)}, 4)
+    ce = compute_ce_scores(gts, res, metrics_cfg)
+    rg = ce.get("F1-Radgraph-partial", float("nan"))
+    return {"B4 & RG": f"{round(b[3], 4)} & {round(rg, 3)}"}
+
+
 def compute_all_scores(gts: Union[Dict[str, List[str]], List[str]],
                        res: Union[Dict[str, List[str]], List[str]],
                        metrics_cfg=None) -> Dict[str, float]:

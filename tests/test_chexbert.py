@@ -81,3 +81,26 @@ class TestCheXbertPort:
         assert cr["micro avg"]["f1-score"] in (0.0, 1.0)  # 1.0 unless all-zero labels
         assert set(TOP5_INDEX) < set(range(14))
         assert len(CONDITIONS) == 14
+
+    def test_details_scores_table(self, fake_ckpt, monkeypatch):
+        """compute_chexbert_details_scores (reference metrics.py:97-115
+        contract): per-condition [prevalence (support), p, r, f1] rows plus
+        '-'-led avg rows, weighted/samples averages dropped."""
+        from evoke_tpu.core.config import MetricsConfig
+        from evoke_tpu.evals import composite
+
+        path, root, bert, heads = fake_ckpt
+        cfg = MetricsConfig(chexbert_checkpoint=path,
+                            chexbert_tokenizer_checkpoint=root)
+        scorer = F1CheXbert(path, root, max_len=32, batch_size=2, hidden_size=32,
+                            num_layers=2, num_heads=4, intermediate_size=64,
+                            max_positions=64)
+        monkeypatch.setitem(composite._SCORER_CACHE, f"chexbert:{path}", scorer)
+        table = composite.compute_chexbert_details_scores(REPORTS, REPORTS, cfg)
+        assert "micro avg" in table and "macro avg" in table
+        assert "weighted avg" not in table and "samples avg" not in table
+        assert table["micro avg"][0] == "-"
+        for cond, row in table.items():
+            assert len(row) == 4
+            if "avg" not in cond:
+                assert "(" in row[0]  # prevalence% (support)
