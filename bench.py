@@ -1,12 +1,21 @@
-"""Throughput benchmark: batched beam-search report generation on one chip.
+"""Throughput benchmark: the full BASELINE.json metric on one chip.
 
-Metric (BASELINE.json): reports/sec/chip at 224, beam=3, max 100 tokens, on the
-flagship FinetuneModel (ResNet-101 + multiview fusion + indication co-attention
-+ KV-cached relational-memory beam decoder, bfloat16 compute).
+Measures, on the flagship FinetuneModel (ResNet-101 + wide multiview fusion +
+indication co-attention + KV-cached relational-memory beam decoder, bfloat16):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no throughput numbers (SURVEY.md §6); BASELINE_RPS pins
-this framework's round-1 measurement so later rounds show relative progress.
+- beam-3 report generation at 224 AND 384 px: reports/sec/chip and p50
+  per-study (batch) latency, swept over batch sizes (best batch wins);
+- the jitted train-step throughput (studies/sec, device-resident);
+- a rough MFU line per decode config (XLA cost-analysis FLOPs / time / peak).
+
+Prints one JSON line PER config; the LAST line is the headline 224 number with
+``vs_baseline`` pinned to round 1's 235.216 reports/s so later rounds track
+relative progress. ``bench.py --pipeline`` instead benchmarks the real input
+pipeline end-to-end (synthetic JPEGs -> MultiviewBatcher -> prefetch -> jitted
+train step) and reports steps/s + input-stall %.
+
+Timing is per call with block_until_ready: async-loop timing over-reports
+through the remote TPU runtime (measured round 1: artifacts up to 20x).
 """
 
 import json
@@ -18,65 +27,223 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-# Round-1 reference point (reports/sec/chip on TPU v5e-1). None -> vs_baseline=1.0.
-BASELINE_RPS = None
+# Round-1 headline (reports/sec/chip @224 beam=3 batch 32, TPU v5e-1, BENCH_r01.json).
+BASELINE_RPS = 235.216
+# TPU v5e (v5 lite) peak bf16 matmul throughput per chip.
+PEAK_FLOPS = 197e12
+
+GEN_LEN = 100
+VOCAB = 4000
 
 
-def main():
+def _emit(metric, value, unit, vs=None):
+    print(json.dumps({"metric": metric, "value": round(value, 3), "unit": unit,
+                      "vs_baseline": round(vs, 3) if vs else 1.0}), flush=True)
+
+
+def _p50(fn, iters):
+    lats = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        lats.append(time.perf_counter() - t0)
+    return float(np.percentile(np.asarray(lats), 50))
+
+
+def _cost_flops(jitted, *args):
+    """XLA's own FLOP estimate for one execution (None if unavailable)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def bench_decode(image_size, batch_sizes, iters):
     import jax
 
     from evoke_tpu.core.config import DecodeConfig
     from evoke_tpu.train.steps import TrainState, make_generate_step
     from __graft_entry__ import _example_batch, _flagship
 
-    n_anchor = int(os.environ.get("BENCH_ANCHORS", 32))
-    n_aux = n_anchor
-    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", 224))
-    vocab = 4000
-    iters = int(os.environ.get("BENCH_ITERS", 6))
-
     class _Tok:
-        bos_id, eos_id, pad_id, unk_id = vocab - 2, vocab - 1, 0, 4
+        bos_id, eos_id, pad_id, unk_id = VOCAB - 2, VOCAB - 1, 0, 4
 
         def get_vocab_size(self):
-            return vocab
+            return VOCAB
 
-    model = _flagship(vocab_size=vocab)
+    model = _flagship(vocab_size=VOCAB)
     rng = np.random.default_rng(0)
-    batch = _example_batch(rng, n_anchor, n_aux, image_size, 100, vocab)
-    variables = jax.jit(model.init)(jax.random.key(0), batch["images"], batch["ids"],
-                                    batch["mask"], batch["pids"], batch["valid"],
-                                    batch["inc_ids"], batch["inc_mask"])
-    state = TrainState(step=0, params=variables["params"],
-                       batch_stats=variables.get("batch_stats", {}), opt_state=None)
-    gen = make_generate_step(model, _Tok(), DecodeConfig(beam_size=3), 100,
+    gen = make_generate_step(model, _Tok(), DecodeConfig(beam_size=3), GEN_LEN,
                              with_indication=True)
 
-    # device-resident inputs: steady-state serving rate (host->device transfer
-    # overlaps via device_prefetch in the real pipeline; uint8 transport cuts it 4x).
-    # Latency is measured per call with block_until_ready — async-loop timing
-    # over-reports through the remote runtime (measured round 1: artifacts up to 20x).
-    batch = jax.device_put(batch)
+    best = None
+    variables = None
+    for b in batch_sizes:
+        batch = _example_batch(rng, b, b, image_size, GEN_LEN, VOCAB)
+        if variables is None:
+            variables = jax.jit(model.init)(
+                jax.random.key(0), batch["images"], batch["ids"], batch["mask"],
+                batch["pids"], batch["valid"], batch["inc_ids"], batch["inc_mask"])
+        state = TrainState(step=0, params=variables["params"],
+                           batch_stats=variables.get("batch_stats", {}), opt_state=None)
+        # device-resident inputs: steady-state serving rate (host->device overlap
+        # is the input pipeline's job; see --pipeline mode)
+        batch = jax.device_put(batch)
+        try:
+            seqs = gen(state, batch)  # compile + warmup
+            seqs.block_until_ready()
+            assert (np.asarray(seqs) != 0).any(), "generation produced only PAD"
+            p50 = _p50(lambda: gen(state, batch).block_until_ready(), iters)
+        except Exception as e:  # OOM at large batch: skip, keep smaller configs
+            print(f"# decode {image_size}px batch {b} skipped: {type(e).__name__}",
+                  file=sys.stderr)
+            continue
+        rps = b / p50
+        flops = _cost_flops(gen, state, batch)
+        mfu = (flops / p50) / PEAK_FLOPS if flops else None
+        row = dict(batch=b, p50_ms=p50 * 1e3, rps=rps, mfu=mfu)
+        if best is None or rps > best["rps"]:
+            best = row
+        _emit(f"reports/sec/chip @ {image_size}px beam=3 len={GEN_LEN} (bf16, batch {b}, "
+              f"p50 batch latency {p50 * 1e3:.1f} ms"
+              + (f", MFU {mfu * 100:.1f}%" if mfu else "") + ")",
+              rps, "reports/s",
+              vs=rps / BASELINE_RPS if image_size == 224 else None)
+    return best
 
-    seqs = gen(state, batch)           # warmup / compile
-    seqs.block_until_ready()
-    assert (np.asarray(seqs) != 0).any(), "generation produced only PAD"
 
-    lats = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        gen(state, batch).block_until_ready()
-        lats.append(time.perf_counter() - t0)
-    p50 = float(np.percentile(np.asarray(lats), 50))
-    rps = n_anchor / p50
-    vs = rps / BASELINE_RPS if BASELINE_RPS else 1.0
-    print(json.dumps({
-        "metric": f"reports/sec/chip @ {image_size}px beam=3 len=100 (bf16, "
-                  f"batch {n_anchor}, p50 batch latency {p50 * 1e3:.1f} ms)",
-        "value": round(rps, 3),
-        "unit": "reports/s",
-        "vs_baseline": round(vs, 3),
-    }))
+def bench_train(image_size, batch, iters):
+    import jax
+
+    from evoke_tpu.core import prng
+    from evoke_tpu.train.optim import build_optimizer
+    from evoke_tpu.train.steps import create_train_state, make_train_step
+    from __graft_entry__ import _example_batch, _flagship
+
+    model = _flagship(vocab_size=VOCAB)
+    rng = np.random.default_rng(0)
+    data = _example_batch(rng, batch, batch, image_size, GEN_LEN, VOCAB)
+    variables = jax.jit(lambda k: model.init(
+        k, data["images"], data["ids"], data["mask"], data["pids"], data["valid"],
+        data["inc_ids"], data["inc_mask"], method=model.warmup))(jax.random.key(0))
+    tx = build_optimizer("RAdam", "finetune", variables["params"],
+                         pt_lr=5e-6, ft_lr=5e-5, weight_decay=1e-4)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, prng.root_key(0), with_indication=True)
+    data = jax.device_put(data)
+    state, _ = step(state, data)  # compile + warmup (donated: state is consumed)
+
+    def one():
+        nonlocal state
+        state, m = step(state, data)
+        jax.block_until_ready(m)
+
+    p50 = _p50(one, iters)
+    _emit(f"train studies/sec/chip @ {image_size}px (bf16, batch {batch}+{batch} views, "
+          f"p50 step {p50 * 1e3:.1f} ms)", batch / p50, "studies/s")
+
+
+def bench_pipeline(image_size, batch, steps):
+    """Real input pipeline end-to-end: synthetic images on disk ->
+    MultiviewBatcher -> Prefetcher -> device_prefetch -> jitted train step.
+    Reports steps/s with input overlap and the input-stall percentage
+    (wall time not covered by pure device compute)."""
+    import json as _json
+    import tempfile
+
+    import jax
+
+    from evoke_tpu.core import prng
+    from evoke_tpu.data.batching import MultiviewBatcher, Prefetcher, device_prefetch
+    from evoke_tpu.data.datasets import parse_finetune
+    from evoke_tpu.data.synthetic import write_synthetic_dataset
+    from evoke_tpu.data.tokenizer import build_tokenizer
+    from evoke_tpu.data.transforms import make_transform
+    from evoke_tpu.train.optim import build_optimizer
+    from evoke_tpu.train.steps import create_train_state, make_train_step
+    from __graft_entry__ import _flagship
+
+    root = tempfile.mkdtemp(prefix="evoke_bench_")
+    n_studies = int(batch * (steps + 2) / 0.7) + batch  # ~70% have an indication
+    ann_path = write_synthetic_dataset(root, n_train=n_studies, n_val=1, n_test=1,
+                                       image_size=image_size)
+    tok = build_tokenizer(os.path.join(root, "tok"), "mimic_cxr", ann_path=ann_path)
+    with open(ann_path) as f:
+        ann = _json.load(f)
+    has_inc, _ = parse_finetune(ann, "train")
+    transform = make_transform(image_size, train=True, output_uint8=True)
+    batcher = MultiviewBatcher(has_inc, tok, transform, n_anchor=batch,
+                               max_seq_len=GEN_LEN, image_dir=root,
+                               with_indication=True, text_field="report",
+                               add_bos_eos=True, num_workers=8, drop_last=True)
+    steps = min(steps, len(batcher) - 1)
+
+    def arrays_only(b):
+        return {k: v for k, v in b.items() if not k.startswith("_")}
+
+    model = _flagship(vocab_size=tok.get_vocab_size())
+    first = jax.device_put(arrays_only(next(iter(batcher))))
+    variables = jax.jit(lambda k, b=first: model.init(
+        k, b["images"].astype("float32"), b["ids"], b["mask"], b["pids"],
+        b["valid"], b["inc_ids"], b["inc_mask"], method=model.warmup))(jax.random.key(0))
+    tx = build_optimizer("RAdam", "finetune", variables["params"],
+                         pt_lr=5e-6, ft_lr=5e-5, weight_decay=1e-4)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, prng.root_key(0), with_indication=True)
+    state, _ = step(state, first)  # compile + warmup
+
+    t0 = time.perf_counter()
+    n = 0
+    for dev_batch, _host in device_prefetch(iter(Prefetcher(batcher, depth=2)), depth=2):
+        state, m = step(state, dev_batch)
+        jax.block_until_ready(m)
+        n += 1
+        if n >= steps:
+            break
+    wall = time.perf_counter() - t0
+    # stall = wall time not explained by pure device compute at the same batch
+    data_resident = jax.device_put(arrays_only(next(iter(batcher))))
+
+    def one():
+        nonlocal state  # the step donates its input state
+        state, m = step(state, data_resident)
+        jax.block_until_ready(m)
+
+    pure = _p50(one, 3)
+    stall_pct = max(0.0, (wall - n * pure) / wall * 100.0)
+    _emit(f"pipeline steps/sec @ {image_size}px (disk->batch->prefetch->train, batch "
+          f"{batch}, input stall {stall_pct:.1f}%)", n / wall, "steps/s")
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/evoke_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if "--pipeline" in sys.argv:
+        bench_pipeline(int(os.environ.get("BENCH_IMAGE_SIZE", 224)),
+                       int(os.environ.get("BENCH_ANCHORS", 16)),
+                       int(os.environ.get("BENCH_STEPS", 8)))
+        return
+
+    iters = int(os.environ.get("BENCH_ITERS", 6))
+    train_batch = int(os.environ.get("BENCH_TRAIN_ANCHORS", 32))
+
+    bench_train(224, train_batch, iters)
+    bench_decode(384, [int(x) for x in
+                       os.environ.get("BENCH_BATCHES_384", "32,64").split(",")], iters)
+    best224 = bench_decode(224, [int(x) for x in
+                                 os.environ.get("BENCH_BATCHES_224", "32,64,128").split(",")],
+                           iters)
+    # headline LAST (the driver parses the final JSON line)
+    _emit(f"reports/sec/chip @ 224px beam=3 len={GEN_LEN} (bf16, best batch "
+          f"{best224['batch']}, p50 batch latency {best224['p50_ms']:.1f} ms"
+          + (f", MFU {best224['mfu'] * 100:.1f}%" if best224.get("mfu") else "") + ")",
+          best224["rps"], "reports/s", vs=best224["rps"] / BASELINE_RPS)
 
 
 if __name__ == "__main__":
