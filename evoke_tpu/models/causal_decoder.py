@@ -33,6 +33,7 @@ class CausalLayer(nn.Module):
     num_heads: int
     d_ff: int
     dropout_rate: float = 0.1
+    gelu_approximate: bool = False   # True = GPT-2's gelu_new (tanh approximation)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -43,9 +44,10 @@ class CausalLayer(nn.Module):
                                             self.dropout_rate, dtype=self.dtype)
         self.cross_attn = MultiHeadAttention(self.num_heads, self.d_model,
                                              self.dropout_rate, dtype=self.dtype)
+        approx = self.gelu_approximate
         self.ff = PositionwiseFFN(self.d_model, self.d_ff, self.dropout_rate,
                                   dtype=self.dtype,
-                                  activation=lambda y: nn.gelu(y, approximate=False))
+                                  activation=lambda y: nn.gelu(y, approximate=approx))
 
     def __call__(self, x, enc, self_mask, cross_mask, deterministic=True):
         h = self.ln1(x)
@@ -87,6 +89,7 @@ class CausalDecoder(nn.Module):
     drop_prob_lm: float = 0.5
     max_seq_len: int = 100
     max_positions: int = 512
+    style: str = "bert"   # bert = exact gelu (BertGeneration) | gpt2 = gelu_new
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -96,7 +99,9 @@ class CausalDecoder(nn.Module):
         self.pos_embed = nn.Embed(self.max_positions, self.d_model, dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout_rate)
         self.layers = [CausalLayer(self.d_model, self.num_heads, self.d_ff,
-                                   self.dropout_rate, dtype=self.dtype,
+                                   self.dropout_rate,
+                                   gelu_approximate=self.style == "gpt2",
+                                   dtype=self.dtype,
                                    name=f"layer_{i}") for i in range(self.num_layers)]
         self.final_ln = nn.LayerNorm(dtype=self.dtype)
         self.logit = nn.Dense(self.vocab_size + 1, dtype=self.dtype, name="logit")
