@@ -81,6 +81,13 @@ class BaseTrainer:
     # ---- checkpointing ----
 
     def _resume(self, which: str) -> None:
+        if which == "auto":
+            # preemption recovery (SURVEY §5.3): restart the same command; it
+            # picks up from the last saved state, or starts fresh on first run
+            if not self.ckpt.exists("current"):
+                self.logger.info("resume=auto: no checkpoint yet, starting fresh")
+                return
+            which = "current"
         name = which if which in ("current", "best") else "current"
         restored, meta = self.ckpt.restore(name, self.state)
         self.state = restored

@@ -96,3 +96,34 @@ class TestTensorParallel:
         step = make_train_step(model, tx, prng.root_key(0))
         state, metrics = step(state, shard_batch(batch, mesh))
         assert np.isfinite(float(metrics["lm"]))
+
+
+class TestShardedGeneration:
+    def test_dp_sharded_beam_equals_single_device(self, devices):
+        """Serving path under SPMD: beam-3 generation with the batch sharded
+        over an 8-way dp mesh must emit exactly the single-device tokens."""
+        from evoke_tpu.core.config import DecodeConfig
+        from evoke_tpu.data.synthetic import corpus_for_tokenizer, synthetic_batch
+        from evoke_tpu.data.tokenizer import WordTokenizer
+        from evoke_tpu.models.finetune import FinetuneModel
+        from evoke_tpu.train.steps import TrainState, make_generate_step
+
+        tok = WordTokenizer.train(corpus_for_tokenizer())
+        batch = synthetic_batch(np.random.default_rng(0), tok, batch=8, image_size=32,
+                                max_seq_len=8, n_aux=8)
+        model = FinetuneModel(
+            vocab_size=tok.get_vocab_size(), output_dim=32, encoder_hidden_size=32,
+            encoder_num_layers=1, encoder_num_heads=2, encoder_intermediate_size=64,
+            d_model=16, d_ff=32, num_heads=2, num_layers=1, rm_num_slots=2,
+            rm_d_model=16, fusion_num_heads=2, fusion_intermediate_size=64,
+            sk_fusion_num_layers=1, max_seq_len=8, drop_prob_lm=0.0)
+        variables = jax.jit(model.init)(jax.random.key(0), batch["images"], batch["ids"],
+                                        batch["mask"], batch["pids"], batch["valid"])
+        state = TrainState(step=0, params=variables["params"],
+                           batch_stats=variables["batch_stats"], opt_state=None)
+        gen = make_generate_step(model, tok, DecodeConfig(beam_size=3), 8)
+
+        single = np.asarray(gen(state, batch))
+        mesh = create_mesh(MeshSpec(dp=8))
+        sharded = np.asarray(gen(state, shard_batch(batch, mesh)))
+        np.testing.assert_array_equal(single, sharded)

@@ -161,3 +161,40 @@ class TestPretrainTrainer:
         want = jax.tree_util.tree_leaves(
             trainer.state.params["visual_extractor"])[0]
         np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+class TestAutoResume:
+    def test_auto_resume_preemption_recovery(self, world, tmp_path):
+        """resume='auto' (SURVEY §5.3): first launch starts fresh; relaunching
+        the SAME command after a kill resumes from the last saved epoch."""
+        root, ann, tok = world
+        cfg = make_cfg(root, "pretrain", str(tmp_path))
+        cfg.trainer.epochs = 2
+        cfg.trainer.resume = "auto"
+        pexs = parse_pretrain(ann, "train")
+        tf_tr, tf_ev = make_transform(32, True), make_transform(32, False)
+        mk = lambda exs, tf, sh: MultiviewBatcher(exs, tok, tf, n_anchor=2,
+                                                  max_seq_len=16, image_dir=root,
+                                                  shuffle=sh, num_workers=2)
+        model = PretrainModel(vocab_size=tok.get_vocab_size(), **SMALL)
+        b0 = next(iter(mk(pexs, tf_tr, False)))
+        variables = jax.jit(model.init)(KEY, b0["images"], b0["ids"], b0["mask"],
+                                        b0["pids"], b0["valid"])
+        tx = build_optimizer("AdamW", "pretrain", variables["params"], pt_lr=1e-4,
+                             ft_lr=1e-4, weight_decay=1e-4)
+
+        def launch():
+            state = create_train_state(variables, tx)
+            return PretrainTrainer(
+                cfg, model, tok, tx, state, train_loader=mk(pexs, tf_tr, True),
+                val_loader=mk(parse_pretrain(ann, "val"), tf_ev, False),
+                test_loader=None)
+
+        t1 = launch()
+        assert t1.start_epoch == 1  # no checkpoint yet: fresh start
+        t1.train()
+        t2 = launch()               # "relaunch after preemption"
+        assert t2.start_epoch == 3  # resumes past the 2 completed epochs
+        got = jax.tree_util.tree_leaves(t2.state.params)[0]
+        want = jax.tree_util.tree_leaves(t1.state.params)[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
