@@ -182,9 +182,12 @@ class TestAutoResume:
                                         b0["pids"], b0["valid"])
         tx = build_optimizer("AdamW", "pretrain", variables["params"], pt_lr=1e-4,
                              ft_lr=1e-4, weight_decay=1e-4)
+        # the train step donates its state; launch each "process" from a host copy
+        host_vars = jax.device_get(variables)
 
         def launch():
-            state = create_train_state(variables, tx)
+            fresh = jax.tree_util.tree_map(jax.numpy.asarray, host_vars)
+            state = create_train_state(fresh, tx)
             return PretrainTrainer(
                 cfg, model, tok, tx, state, train_loader=mk(pexs, tf_tr, True),
                 val_loader=mk(parse_pretrain(ann, "val"), tf_ev, False),
