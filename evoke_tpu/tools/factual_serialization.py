@@ -219,6 +219,40 @@ def serialize_annotation(ann: Dict[str, List[dict]],
     return ann
 
 
+def serialize_predictions(pred_csv: str, out_csv: str,
+                          ner_fn: Optional[Callable[[List[str]], List[List[str]]]] = None,
+                          pred_column: str = "pred_report") -> str:
+    """Attach factual serializations to a generated-prediction CSV
+    (reference temp_tester.py:138-152 ``extract_factual_serialization``):
+    adds a ``gen_fs`` column with the ordered core-finding sentences of each
+    generated report. ner_fn defaults to the heuristic extractor when the
+    RadGraph stack is unavailable."""
+    import csv as _csv
+
+    with open(pred_csv, newline="") as f:
+        rows = list(_csv.DictReader(f))
+    if pred_column not in (rows[0] if rows else {}):
+        # trainer CSVs name prediction columns pred_<epoch>; take the last one
+        cands = [c for c in (rows[0] or {}) if c.startswith("pred")]
+        if not cands:
+            raise ValueError(f"no prediction column in {pred_csv}")
+        pred_column = cands[-1]
+    reports = [r.get(pred_column) or "" for r in rows]
+    if ner_fn is not None:
+        fs = []
+        for start in range(0, len(reports), 64):
+            fs.extend(ner_fn(reports[start:start + 64]))
+    else:
+        fs = [heuristic_core_findings(r) for r in reports]
+    fields = list(rows[0].keys()) + ["gen_fs"] if rows else ["gen_fs"]
+    with open(out_csv, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=fields)
+        w.writeheader()
+        for row, kws in zip(rows, fs):
+            w.writerow({**row, "gen_fs": json.dumps(kws)})
+    return out_csv
+
+
 def serialize_file(ann_path: str, out_path: str, use_radgraph: bool = True) -> str:
     ner_fn = None
     if use_radgraph:

@@ -296,3 +296,36 @@ class TestBenchmarkMetadataMerge:
         assert u["view_position"] == ["unk", "unk"]
         assert u["comparison"] == "none ."
         assert ",," not in u["indication_pure"]
+
+
+class TestSerializePredictions:
+    def test_adds_gen_fs_column(self, tmp_path):
+        import csv
+        from evoke_tpu.tools.factual_serialization import serialize_predictions
+
+        src = tmp_path / "test_prediction_temp.csv"
+        with open(src, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["images_id", "ground_truth", "pred_report"])
+            w.writeheader()
+            w.writerow({"images_id": "a", "ground_truth": "gt",
+                        "pred_report": "the lungs are clear . no pleural effusion ."})
+        out = serialize_predictions(str(src), str(tmp_path / "out.csv"))
+        with open(out, newline="") as f:
+            rows = list(csv.DictReader(f))
+        fs = json.loads(rows[0]["gen_fs"])
+        assert fs and any("effusion" in k for k in fs)
+
+    def test_trainer_column_fallback(self, tmp_path):
+        import csv
+        from evoke_tpu.tools.factual_serialization import serialize_predictions
+
+        src = tmp_path / "test_prediction.csv"
+        with open(src, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["images_id", "ground_truth", "pred_3"])
+            w.writeheader()
+            w.writerow({"images_id": "a", "ground_truth": "gt",
+                        "pred_3": "mild cardiomegaly ."})
+        out = serialize_predictions(str(src), str(tmp_path / "out.csv"))
+        with open(out, newline="") as f:
+            rows = list(csv.DictReader(f))
+        assert "cardiomegaly" in rows[0]["gen_fs"]
