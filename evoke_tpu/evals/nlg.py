@@ -280,6 +280,18 @@ def meteor_lite(gts: TextSet, res: TextSet, alpha: float = 0.85, beta: float = 0
 
 # ------------------------------------------------------------------ aggregate
 
+_METEOR15 = None
+
+
+def _meteor15():
+    """Build the METEOR 1.5 scorer once per process (stage probing hits disk)."""
+    global _METEOR15
+    if _METEOR15 is None:
+        from evoke_tpu.evals.meteor import Meteor15
+        _METEOR15 = Meteor15()
+    return _METEOR15
+
+
 def compute_nlg_scores(gts: TextSet, res: TextSet) -> Dict[str, float]:
     """The reference's compute_nlg_scores surface (metrics.py:17-47)."""
     out: Dict[str, float] = {}
@@ -289,8 +301,7 @@ def compute_nlg_scores(gts: TextSet, res: TextSet) -> Dict[str, float]:
     # full METEOR 1.5 scorer; with no wordnet/paraphrase data on disk its
     # exact+stem behavior is identical to meteor_lite (kept as fallback)
     try:
-        from evoke_tpu.evals.meteor import Meteor15
-        out["METEOR"], _ = Meteor15()(gts, res)
+        out["METEOR"], _ = _meteor15()(gts, res)
     except Exception:
         out["METEOR"], _ = meteor_lite(gts, res)
     out["ROUGE_L"], _ = rouge_l(gts, res)
