@@ -83,7 +83,8 @@ def _gather_beams(tree, beam_idx, batch: int, beam: int):
 def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, pad_id: int,
                 vocab_size: int, beam_size: int = 3, max_len: int = 100,
                 length_penalty: str = "", suppress_ids: Tuple[int, ...] = (),
-                decoding_constraint: bool = False, early_stop: bool = True) -> BeamResult:
+                decoding_constraint: bool = False, early_stop: bool = True,
+                unroll: int = 1) -> BeamResult:
     """Batched beam search over a KV-cached step function.
 
     ``state0`` must already be sized for N = batch * beam_size rows (broadcast
@@ -163,7 +164,7 @@ def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, p
             jax.lax.while_loop(cond, body, (jnp.int32(0), init))
     else:
         (tok, dec_state, alive_logp, seq, done_seq, done_score, _ever), _ = jax.lax.scan(
-            scan_body, init, jnp.arange(max_len))
+            scan_body, init, jnp.arange(max_len), unroll=unroll)
 
     # zero out everything after (and excluding nothing) — tokens after EOS become PAD
     pos = jnp.arange(max_len)[None, None, :]
