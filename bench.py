@@ -51,7 +51,11 @@ def _p50(fn, iters):
 
 
 def _cost_flops(jitted, *args):
-    """XLA's own FLOP estimate for one execution (None if unavailable)."""
+    """XLA's own FLOP estimate for one execution (None if unavailable).
+
+    Caveat: XLA cost analysis counts a while-loop body ONCE, so for the
+    early-stop decode loop this underestimates true FLOPs — the derived MFU
+    is a lower bound."""
     try:
         cost = jitted.lower(*args).compile().cost_analysis()
         if isinstance(cost, list):
