@@ -225,7 +225,9 @@ def bench_pipeline(image_size, batch, steps):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/evoke_jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".cache", "jax"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if "--pipeline" in sys.argv:

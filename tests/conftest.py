@@ -19,7 +19,9 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compile cache: CPU-mesh compiles of the full models take minutes;
 # cache them across test processes
-jax.config.update("jax_compilation_cache_dir", "/tmp/evoke_jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".cache", "jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
