@@ -20,8 +20,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from evoke_tpu.models.layers import (BertAttentionBlock, BertSelfOutput, MultiHeadAttention,
-                                     PositionwiseFFN, make_cross_mask, make_self_mask)
+from evoke_tpu.models.layers import (BertAttentionBlock, BertCrossLayer, BertSelfOutput,
+                                     MultiHeadAttention, PositionwiseFFN, make_cross_mask,
+                                     make_self_mask)
 
 Dtype = Any
 
@@ -156,5 +157,120 @@ class CausalDecoder(nn.Module):
             new_v.append(cv)
         x = self.final_ln(x)
         logp = jax.nn.log_softmax(self.logit(x)[:, 0, :].astype(jnp.float32), axis=-1)
+        return logp, {"cache_k": tuple(new_k), "cache_v": tuple(new_v),
+                      "cross_k": state["cross_k"], "cross_v": state["cross_v"]}
+
+
+class BertGenerationEmbeddings(nn.Module):
+    """HF BertGenerationEmbeddings: word + position + LN + dropout (NO token-type,
+    transformers bert_generation modeling contract)."""
+
+    vocab_size: int
+    hidden_size: int
+    max_positions: int = 512
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.word_embeddings = nn.Embed(self.vocab_size, self.hidden_size,
+                                        dtype=self.dtype, name="word_embeddings")
+        self.position_embeddings = nn.Embed(self.max_positions, self.hidden_size,
+                                            dtype=self.dtype, name="position_embeddings")
+        self.ln = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="LayerNorm_0")
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, ids, deterministic=True):
+        t = ids.shape[1]
+        x = self.word_embeddings(ids) + self.position_embeddings(jnp.arange(t))[None]
+        return self.drop(self.ln(x), deterministic=deterministic)
+
+    def at_position(self, ids, pos, deterministic=True):
+        """ids: [B] -> [B, 1, H] embedding at a dynamic position (decode step)."""
+        pos_vec = self.position_embeddings(jnp.asarray(pos, jnp.int32))
+        x = self.word_embeddings(ids)[:, None, :] + pos_vec[None, None, :]
+        return self.drop(self.ln(x), deterministic=deterministic)
+
+
+class BertGenerationDecoder(nn.Module):
+    """BertGeneration-style causal LM decoder with cross-attention.
+
+    Capability parity: the reference's ``TextDecoderModel``
+    (models/language_encoder/language_model.py:15-60) — a HF
+    ``BertGenerationDecoder`` built with ``is_decoder=True`` +
+    ``add_cross_attention=True``, optionally seeded from a BERT checkpoint with
+    ``ignore_mismatched_sizes=True`` (import path:
+    torch_import.import_bertgeneration_decoder). Post-LN Bert layers, exact
+    gelu, learned positions, LM head without extra transform
+    (BertGenerationOnlyLMHead). Same train/decode API as RMDecoder
+    (drop-in via decoder_kind='bertgen').
+    """
+
+    vocab_size: int
+    d_model: int = 512
+    d_ff: int = 2048
+    d_vf: int = 2048
+    num_layers: int = 3
+    num_heads: int = 8
+    dropout_rate: float = 0.1
+    drop_prob_lm: float = 0.5
+    max_seq_len: int = 100
+    max_positions: int = 512
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.att_embed = nn.Dense(self.d_model, dtype=self.dtype, name="att_embed")
+        self.att_drop = nn.Dropout(self.drop_prob_lm)
+        self.embeddings = BertGenerationEmbeddings(
+            self.vocab_size + 1, self.d_model, self.max_positions,
+            self.dropout_rate, dtype=self.dtype)
+        self.layers = [BertCrossLayer(self.d_model, self.num_heads, self.d_ff,
+                                      self.dropout_rate, dtype=self.dtype,
+                                      name=f"layer_{i}") for i in range(self.num_layers)]
+        self.lm_head = nn.Dense(self.vocab_size + 1, dtype=self.dtype, name="lm_head")
+
+    def encode(self, att_feats, att_mask, deterministic=True):
+        """Project image tokens into the decoder width (the HF decoder
+        cross-attends over raw encoder states)."""
+        x = self.att_embed(att_feats * att_mask[..., None])
+        x = nn.relu(x)
+        return self.att_drop(x, deterministic=deterministic)
+
+    def __call__(self, att_feats, att_mask, tgt_ids, tgt_mask, deterministic=True):
+        enc = self.encode(att_feats, att_mask, deterministic=deterministic)
+        return self.decode_train(enc, att_mask, tgt_ids, tgt_mask,
+                                 deterministic=deterministic)
+
+    def decode_train(self, enc, att_mask, tgt_ids, tgt_mask, deterministic=True):
+        x = self.embeddings(tgt_ids, deterministic=deterministic)
+        self_mask = make_self_mask(tgt_mask, causal=True)
+        cross_mask = make_cross_mask(att_mask)
+        for layer in self.layers:
+            x = layer(x, enc, self_mask=self_mask, cross_mask=cross_mask,
+                      deterministic=deterministic)
+        return jax.nn.log_softmax(self.lm_head(x).astype(jnp.float32), axis=-1)
+
+    def init_decode_state(self, enc, batch: int, max_len: Optional[int] = None
+                          ) -> Dict[str, Any]:
+        lmax = max_len or self.max_seq_len
+        cross = [layer.prepare_cross_kv(enc) for layer in self.layers]
+        zeros = lambda: jnp.zeros((batch, lmax, self.d_model), self.dtype)
+        return {
+            "cache_k": tuple(zeros() for _ in range(self.num_layers)),
+            "cache_v": tuple(zeros() for _ in range(self.num_layers)),
+            "cross_k": tuple(c[0] for c in cross),
+            "cross_v": tuple(c[1] for c in cross),
+        }
+
+    def decode_step(self, tok, pos, state, att_mask):
+        x = self.embeddings.at_position(tok, pos)
+        cross_mask = make_cross_mask(att_mask)
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            x, ck, cv = layer.step(x, state["cross_k"][i], state["cross_v"][i],
+                                   cross_mask, state["cache_k"][i], state["cache_v"][i],
+                                   pos)
+            new_k.append(ck)
+            new_v.append(cv)
+        logp = jax.nn.log_softmax(self.lm_head(x)[:, 0, :].astype(jnp.float32), axis=-1)
         return logp, {"cache_k": tuple(new_k), "cache_v": tuple(new_v),
                       "cross_k": state["cross_k"], "cross_v": state["cross_v"]}

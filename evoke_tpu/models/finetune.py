@@ -51,7 +51,7 @@ class FinetuneModel(nn.Module):
     rm_d_model: int = 512
     max_seq_len: int = 100
     is_multiview_learning: bool = True
-    decoder_kind: str = "r2gen"     # r2gen | cmn | causal (reference: text_decoder)
+    decoder_kind: str = "r2gen"     # r2gen | cmn | causal | bertgen (ref: text_decoder)
     visual_encoder: str = "resnet101"   # resnet101 | vit_b32 (reference Inference :429)
     cmm_size: int = 2048
     cmm_dim: int = 512
@@ -85,7 +85,15 @@ class FinetuneModel(nn.Module):
                       self.fusion_intermediate_size, dtype=self.dtype,
                       name=f"visual_self_atten_layers_{i}")
             for i in range(self.sk_fusion_num_layers)]
-        if self.decoder_kind == "causal":
+        if self.decoder_kind == "bertgen":
+            from evoke_tpu.models.causal_decoder import BertGenerationDecoder
+            self.text_decoder = BertGenerationDecoder(
+                vocab_size=self.vocab_size, d_model=self.d_model,
+                d_ff=max(self.d_ff, 4 * self.d_model), d_vf=self.output_dim,
+                num_layers=self.num_layers, num_heads=self.num_heads,
+                dropout_rate=self.dropout, drop_prob_lm=self.drop_prob_lm,
+                max_seq_len=self.max_seq_len, dtype=self.dtype)
+        elif self.decoder_kind == "causal":
             from evoke_tpu.models.causal_decoder import CausalDecoder
             self.text_decoder = CausalDecoder(
                 vocab_size=self.vocab_size, d_model=self.d_model,

@@ -215,17 +215,27 @@ class BertAttentionBlock(nn.Module):
         self.out = BertSelfOutput(d, self.dropout_rate, dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout_rate)
 
-    def __call__(self, x, kv, mask=None, deterministic=True):
+    def project_kv(self, x):
+        """x: [B, T, D] -> (k, v) each [B, T, D] (post-projection, pre head-split)
+        for KV-cached decoding."""
+        return self.wk(x), self.wv(x)
+
+    def attend(self, x, k_proj, v_proj, mask=None, deterministic=True):
+        """Attention + post-LN residual with already-projected k/v ([B, Tk, D])."""
         b, tq, _ = x.shape
         h = self.num_heads
         q = self.wq(x).reshape(b, tq, h, -1).transpose(0, 2, 1, 3)
-        k = self.wk(kv).reshape(b, kv.shape[1], h, -1).transpose(0, 2, 1, 3)
-        v = self.wv(kv).reshape(b, kv.shape[1], h, -1).transpose(0, 2, 1, 3)
+        k = k_proj.reshape(b, k_proj.shape[1], h, -1).transpose(0, 2, 1, 3)
+        v = v_proj.reshape(b, v_proj.shape[1], h, -1).transpose(0, 2, 1, 3)
         dropout_fn = None if deterministic or self.dropout_rate == 0.0 else (
             lambda p: self.drop(p, deterministic=False))
         ctx, _ = dot_attention(q, k, v, mask=mask, dropout_fn=dropout_fn)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, tq, -1)
         return self.out(ctx, x, deterministic=deterministic)
+
+    def __call__(self, x, kv, mask=None, deterministic=True):
+        k, v = self.project_kv(kv)
+        return self.attend(x, k, v, mask=mask, deterministic=deterministic)
 
 
 class BertFFNBlock(nn.Module):
@@ -288,3 +298,21 @@ class BertCrossLayer(nn.Module):
         x = self.attention(x, x, mask=self_mask, deterministic=deterministic)
         x = self.crossattention(x, enc, mask=cross_mask, deterministic=deterministic)
         return self.ffn(x, deterministic=deterministic)
+
+    def prepare_cross_kv(self, enc):
+        return self.crossattention.project_kv(enc)
+
+    def step(self, x, cross_k, cross_v, cross_mask, cache_k, cache_v, pos):
+        """One-token decode step with projected-KV caching (exact: every
+        sublayer is causal and the post-LN residuals act per position).
+
+        x: [B, 1, D]; cache_k/v: [B, Lmax, D]; pos: scalar int."""
+        k_new, v_new = self.attention.project_kv(x)
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype),
+                                               (0, pos, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype),
+                                               (0, pos, 0))
+        self_mask = (jnp.arange(cache_k.shape[1]) <= pos)[None, None, None, :]
+        x = self.attention.attend(x, cache_k, cache_v, mask=self_mask)
+        x = self.crossattention.attend(x, cross_k, cross_v, mask=cross_mask)
+        return self.ffn(x), cache_k, cache_v

@@ -423,6 +423,84 @@ def import_gpt2_decoder(state_dict: Dict[str, np.ndarray], variables: Dict
     return params, report
 
 
+def import_bertgeneration_decoder(state_dict: Dict[str, np.ndarray], variables: Dict
+                                  ) -> Tuple[Dict, Dict[str, int]]:
+    """Map an HF BertGenerationDecoder (or plain BERT encoder) state_dict onto
+    our ``BertGenerationDecoder`` params.
+
+    Mirrors the reference's ``TextDecoderModel`` construction
+    (models/language_encoder/language_model.py:24-37):
+    ``AutoModelForCausalLM.from_pretrained(text_checkpoint, is_decoder=True,
+    add_cross_attention=True, ignore_mismatched_sizes=True)``. Semantics:
+    shape-mismatched tensors (e.g. word embeddings under an overridden vocab)
+    are skipped; ``crossattention`` blocks and the LM head load when the
+    checkpoint carries them (a saved BertGenerationDecoder) and stay freshly
+    initialized when it is a plain encoder checkpoint; token-type embeddings
+    are dropped (the bert_generation architecture has none)."""
+    import jax
+
+    state_dict = _strip_module(state_dict)
+    prefix = detect_bert_prefix(state_dict)
+    variables = jax.tree_util.tree_map(np.asarray, jax.device_get(variables))
+    params = variables["params"] if "params" in variables else variables
+    report = {"loaded": 0, "mismatched": 0, "missing": 0}
+
+    def sd(key: str):
+        return state_dict.get(prefix + key)
+
+    emb = params["embeddings"]
+    for src, dst in (("embeddings.word_embeddings.weight",
+                      ["word_embeddings", "embedding"]),
+                     ("embeddings.position_embeddings.weight",
+                      ["position_embeddings", "embedding"]),
+                     ("embeddings.LayerNorm.weight", ["LayerNorm_0", "scale"]),
+                     ("embeddings.LayerNorm.bias", ["LayerNorm_0", "bias"])):
+        v = sd(src)
+        if v is not None:
+            if dst[0] == "position_embeddings":
+                v = v[:np.shape(emb["position_embeddings"]["embedding"])[0]]
+            _assign(emb, dst, v, report, src)
+
+    n_layers = len([k for k in params if k.startswith("layer_")])
+    for i in range(n_layers):
+        root = f"encoder.layer.{i}"
+        if sd(f"{root}.attention.self.query.weight") is None:
+            continue
+        layer_sd = lambda key, r=root: sd(f"{r}.{key}")
+        has_cross = sd(f"{root}.crossattention.self.query.weight") is not None
+        lp = params[f"layer_{i}"]
+        _import_bert_hf_layer(lp["attention"], layer_sd, "attention", report)
+        if has_cross:
+            _import_bert_hf_layer(lp["crossattention"], layer_sd, "crossattention",
+                                  report)
+        _assign(lp, ["ffn", "Dense_0", "kernel"],
+                _dense(layer_sd("intermediate.dense.weight")), report, root)
+        _assign(lp, ["ffn", "Dense_0", "bias"], layer_sd("intermediate.dense.bias"),
+                report, root)
+        _assign(lp, ["ffn", "BertSelfOutput_0", "Dense_0", "kernel"],
+                _dense(layer_sd("output.dense.weight")), report, root)
+        _assign(lp, ["ffn", "BertSelfOutput_0", "Dense_0", "bias"],
+                layer_sd("output.dense.bias"), report, root)
+        _assign(lp, ["ffn", "BertSelfOutput_0", "LayerNorm_0", "scale"],
+                layer_sd("output.LayerNorm.weight"), report, root)
+        _assign(lp, ["ffn", "BertSelfOutput_0", "LayerNorm_0", "bias"],
+                layer_sd("output.LayerNorm.bias"), report, root)
+
+    # BertGenerationOnlyLMHead: lm_head.decoder [vocab, hidden] + bias
+    head_w = state_dict.get("lm_head.decoder.weight")
+    if head_w is not None:
+        _assign(params, ["lm_head", "kernel"], _dense(head_w), report, "lm_head")
+        head_b = state_dict.get("lm_head.decoder.bias")
+        if head_b is None:
+            head_b = state_dict.get("lm_head.bias")
+        if head_b is not None:
+            _assign(params, ["lm_head", "bias"], head_b, report, "lm_head")
+    if "params" in variables:
+        variables["params"] = params
+        return variables, report
+    return params, report
+
+
 def import_finetune_checkpoint(state_dict: Dict[str, np.ndarray], variables: Dict
                                ) -> Tuple[Dict, Dict[str, int]]:
     """Map a full EVOKE FineTune state_dict (the released ``model_best.pth``

@@ -58,9 +58,33 @@ class TestCausalDecoder:
                                        rtol=1e-4, atol=1e-5)
 
 
+class TestBertGenDecoder:
+    def test_kv_cached_decode_matches_full(self, rng):
+        from evoke_tpu.models.causal_decoder import BertGenerationDecoder
+
+        vocab, b, t, p = 30, 2, 6, 4
+        dec = BertGenerationDecoder(vocab_size=vocab, d_model=16, d_ff=32, d_vf=24,
+                                    num_layers=2, num_heads=2, max_seq_len=t,
+                                    dropout_rate=0.0, drop_prob_lm=0.0)
+        att = jnp.asarray(rng.normal(size=(b, p, 24)), jnp.float32)
+        att_mask = jnp.ones((b, p), jnp.int32)
+        ids = jnp.asarray(rng.integers(1, vocab, size=(b, t)), jnp.int32)
+        tgt_mask = jnp.ones((b, t), jnp.int32)
+        variables = dec.init(KEY, att, att_mask, ids, tgt_mask)
+        full = dec.apply(variables, att, att_mask, ids, tgt_mask)
+        enc = dec.apply(variables, att, att_mask, method=dec.encode)
+        state = dec.apply(variables, enc, b, method=dec.init_decode_state)
+        for step_t in range(t):
+            logp, state = dec.apply(variables, ids[:, step_t], step_t, state, att_mask,
+                                    method=dec.decode_step)
+            np.testing.assert_allclose(np.asarray(logp), np.asarray(full[:, step_t]),
+                                       rtol=1e-4, atol=1e-5)
+
+
 class TestInferenceSelection:
     @pytest.mark.parametrize("encoder,decoder", [("vit_b32", "r2gen"),
-                                                 ("resnet101", "causal")])
+                                                 ("resnet101", "causal"),
+                                                 ("resnet101", "bertgen")])
     def test_combo_forward(self, encoder, decoder, rng):
         model = FinetuneModel(
             vocab_size=30, output_dim=32, encoder_hidden_size=32, encoder_num_layers=1,

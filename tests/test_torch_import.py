@@ -245,3 +245,106 @@ class TestGPT2DecoderImport:
         # forward still runs with imported weights
         out = dec.apply(new_vars, att, mask, ids, jnp.ones_like(ids))
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestBertGenerationDecoderImport:
+    """BertGenerationDecoder import (language_model.py:24-37 semantics:
+    is_decoder + add_cross_attention, ignore_mismatched_sizes). A full decoder
+    save loads everything incl. cross-attention + LM head; a plain BERT encoder
+    checkpoint leaves those fresh."""
+
+    def _tiny_hf_decoder(self, vocab=33, d=16, layers=2, positions=64):
+        pytest.importorskip("transformers")
+        from transformers.models.bert_generation import (BertGenerationConfig,
+                                                         BertGenerationDecoder)
+
+        cfg = BertGenerationConfig(
+            vocab_size=vocab, hidden_size=d, num_hidden_layers=layers,
+            num_attention_heads=2, intermediate_size=2 * d,
+            max_position_embeddings=positions, is_decoder=True,
+            add_cross_attention=True, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0, bos_token_id=1, eos_token_id=2,
+            pad_token_id=0)
+        torch.manual_seed(0)
+        model = BertGenerationDecoder(cfg)
+        model.eval()
+        return model
+
+    def test_logit_parity_with_hf(self):
+        from evoke_tpu.models.causal_decoder import BertGenerationDecoder as Ours
+        from evoke_tpu.models.torch_import import import_bertgeneration_decoder
+
+        vocab, d, t, s = 32, 16, 6, 5
+        hf = self._tiny_hf_decoder(vocab=vocab + 1, d=d)
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        ours = Ours(vocab_size=vocab, d_model=d, d_ff=2 * d, d_vf=d, num_layers=2,
+                    num_heads=2, dropout_rate=0.0, max_seq_len=t, max_positions=64)
+        rng = np.random.default_rng(0)
+        enc = rng.normal(size=(2, s, d)).astype(np.float32)
+        att_mask = np.ones((2, s), np.int32)
+        ids = rng.integers(1, vocab, (2, t)).astype(np.int32)
+        tgt_mask = np.ones((2, t), np.int32)
+        variables = ours.init(KEY, jnp.asarray(enc), jnp.asarray(att_mask),
+                              jnp.asarray(ids), jnp.asarray(tgt_mask))
+        new_vars, report = import_bertgeneration_decoder(sd, jax.device_get(variables))
+        assert report["mismatched"] == 0, report
+
+        # bypass att_embed (ours-only input projection): decode_train on the raw
+        # encoder states IS the HF decoder stack
+        got = ours.apply(new_vars, jnp.asarray(enc), jnp.asarray(att_mask),
+                         jnp.asarray(ids), jnp.asarray(tgt_mask),
+                         method=ours.decode_train)
+        with torch.no_grad():
+            logits = hf(input_ids=torch.tensor(ids, dtype=torch.long),
+                        attention_mask=torch.tensor(tgt_mask, dtype=torch.long),
+                        encoder_hidden_states=torch.tensor(enc),
+                        encoder_attention_mask=torch.tensor(att_mask,
+                                                            dtype=torch.long)).logits
+            want = torch.log_softmax(logits, dim=-1).numpy()
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+        # KV-cached step parity against the same imported weights
+        state = ours.apply(new_vars, jnp.asarray(enc), 2,
+                           method=ours.init_decode_state)
+        for pos in range(t):
+            logp, state = ours.apply(new_vars, jnp.asarray(ids[:, pos]), pos, state,
+                                     jnp.asarray(att_mask), method=ours.decode_step)
+            np.testing.assert_allclose(np.asarray(logp), want[:, pos], rtol=1e-4,
+                                       atol=1e-4)
+
+    def test_plain_encoder_checkpoint_leaves_cross_fresh(self):
+        pytest.importorskip("transformers")
+        from transformers import BertConfig, BertModel
+
+        from evoke_tpu.models.causal_decoder import BertGenerationDecoder as Ours
+        from evoke_tpu.models.torch_import import import_bertgeneration_decoder
+
+        cfg = BertConfig(vocab_size=33, hidden_size=16, num_hidden_layers=2,
+                         num_attention_heads=2, intermediate_size=32)
+        torch.manual_seed(0)
+        sd = {k: v.detach().numpy() for k, v in BertModel(cfg).state_dict().items()}
+        ours = Ours(vocab_size=32, d_model=16, d_ff=32, d_vf=16, num_layers=2,
+                    num_heads=2, max_seq_len=6, max_positions=64)
+        rng = np.random.default_rng(0)
+        enc = jnp.asarray(rng.normal(size=(1, 4, 16)), jnp.float32)
+        ids = jnp.asarray(rng.integers(1, 32, (1, 6)), jnp.int32)
+        variables = ours.init(KEY, enc, jnp.ones((1, 4), jnp.int32), ids,
+                              jnp.ones((1, 6), jnp.int32))
+        before = jax.device_get(variables)
+        cross_before = np.asarray(
+            before["params"]["layer_0"]["crossattention"]["wq"]["kernel"]).copy()
+        head_before = np.asarray(before["params"]["lm_head"]["kernel"]).copy()
+        new_vars, report = import_bertgeneration_decoder(sd, before)
+        assert report["mismatched"] == 0, report
+        p = new_vars["params"]
+        # embeddings + self-attn + ffn loaded from the encoder checkpoint
+        np.testing.assert_allclose(
+            np.asarray(p["embeddings"]["word_embeddings"]["embedding"]),
+            sd["embeddings.word_embeddings.weight"])
+        np.testing.assert_allclose(
+            np.asarray(p["layer_0"]["attention"]["wq"]["kernel"]),
+            sd["encoder.layer.0.attention.self.query.weight"].T)
+        # cross-attention + lm head stay freshly initialized
+        np.testing.assert_allclose(
+            np.asarray(p["layer_0"]["crossattention"]["wq"]["kernel"]), cross_before)
+        np.testing.assert_allclose(np.asarray(p["lm_head"]["kernel"]), head_before)
