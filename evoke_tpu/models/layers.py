@@ -53,7 +53,15 @@ def dot_attention(q, k, v, mask=None, dropout_fn: Optional[Callable] = None):
     mask: broadcastable to [B, h, Tq, Tk]; True/1 = attend.
     """
     dk = q.shape[-1]
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if q.shape[2] == 1 and q.dtype == jnp.bfloat16:
+        # Single-token decode step: XLA normalizes the degenerate Tq=1 dot to a
+        # VPU multiply-reduce, and preferred_element_type=f32 then forces the
+        # ENTIRE K cache to be upcast+re-laid-out to f32 every step (measured:
+        # 3 x 39 MB copies per step at batch 192). Contracting dk<=128 terms in
+        # bf16 and casting the [B,h,1,Tk] scores afterwards avoids that traffic.
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(dk)
     if mask is not None:
         scores = jnp.where(mask, scores, NEG_INF)
