@@ -215,3 +215,27 @@ class TestRMDecoder:
                                     method=dec.decode_step)
             np.testing.assert_allclose(np.asarray(logp), np.asarray(full[:, t]),
                                        rtol=1e-4, atol=1e-5)
+
+    def test_kv_cached_decode_bf16(self, rng):
+        """The bf16 decode path (single-token QK^T contracts in bf16 — the
+        layers.dot_attention Tq==1 branch, absent from the f32 tests above)
+        must track the bf16 full forward within bf16 tolerance."""
+        vocab, b, t, p = 30, 2, 7, 4
+        dec = RMDecoder(vocab_size=vocab, d_model=16, d_ff=32, d_vf=24, num_layers=2,
+                        num_heads=2, rm_num_slots=3, rm_d_model=16, max_seq_len=t,
+                        drop_prob_lm=0.0, dtype=jnp.bfloat16)
+        att = jnp.asarray(rng.normal(size=(b, p, 24)), jnp.float32)
+        att_mask = jnp.ones((b, p), jnp.int32)
+        ids = jnp.asarray(rng.integers(1, vocab, size=(b, t)), jnp.int32)
+        tgt_mask = jnp.ones((b, t), jnp.int32)
+        variables = dec.init(KEY, att, att_mask, ids, tgt_mask)
+        full = dec.apply(variables, att, att_mask, ids, tgt_mask)
+        enc = dec.apply(variables, att, att_mask, method=dec.encode)
+        state = dec.apply(variables, enc, b, method=dec.init_decode_state)
+        for step_t in range(t):
+            logp, state = dec.apply(variables, ids[:, step_t], step_t, state, att_mask,
+                                    method=dec.decode_step)
+            # bf16 rounding of the score reduce: compare softmax-normalized
+            # distributions loosely but meaningfully
+            np.testing.assert_allclose(np.asarray(logp), np.asarray(full[:, step_t]),
+                                       rtol=0.05, atol=0.05)
