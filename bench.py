@@ -250,6 +250,36 @@ def main():
                                    ".cache", "jax"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    if "--profile" in sys.argv:
+        # device-trace digest of one beam-3 decode call (no TensorBoard needed)
+        from evoke_tpu.core.profiling import capture_trace, format_summary, summarize_trace
+        from evoke_tpu.core.config import DecodeConfig
+        from evoke_tpu.train.steps import TrainState, make_generate_step
+        from __graft_entry__ import _example_batch, _flagship
+
+        class _Tok:
+            bos_id, eos_id, pad_id, unk_id = VOCAB - 2, VOCAB - 1, 0, 4
+
+            def get_vocab_size(self):
+                return VOCAB
+
+        b = int(os.environ.get("BENCH_ANCHORS", 32))
+        model = _flagship(vocab_size=VOCAB)
+        batch = _example_batch(np.random.default_rng(0), b, b, 224, GEN_LEN, VOCAB)
+        variables = jax.jit(model.init)(
+            jax.random.key(0), batch["images"], batch["ids"], batch["mask"],
+            batch["pids"], batch["valid"], batch["inc_ids"], batch["inc_mask"])
+        state = TrainState(step=0, params=variables["params"],
+                           batch_stats=variables.get("batch_stats", {}), opt_state=None)
+        batch = jax.device_put(batch)
+        gen = make_generate_step(model, _Tok(), DecodeConfig(beam_size=3), GEN_LEN,
+                                 with_indication=True)
+        np.asarray(gen(state, batch))  # compile + warm outside the trace
+        outdir = capture_trace(lambda: np.asarray(gen(state, batch)),
+                               "/tmp/evoke_profile")
+        print(format_summary(summarize_trace(outdir)), file=sys.stderr)
+        return
+
     if "--pipeline" in sys.argv:
         bench_pipeline(int(os.environ.get("BENCH_IMAGE_SIZE", 224)),
                        int(os.environ.get("BENCH_ANCHORS", 16)),

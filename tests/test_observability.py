@@ -60,3 +60,31 @@ class TestWarmupCosine:
     def test_builder(self):
         s = build_scheduler("WarmupCosine", "max", warmup_epochs=2, max_epochs=10)
         assert isinstance(s, WarmupCosineScheduler)
+
+
+class TestProfiling:
+    def test_trace_capture_and_summary(self, tmp_path):
+        """capture_trace + summarize_trace digest a real device trace: a jitted
+        scan body shows up as loop ops, the one-shot matmul outside it doesn't."""
+        import jax
+        import jax.numpy as jnp
+
+        from evoke_tpu.core.profiling import (capture_trace, format_summary,
+                                              summarize_trace)
+
+        @jax.jit
+        def fn(x):
+            y = x @ x  # one-shot op
+            def body(c, _):
+                return c @ x + 1.0, None
+            out, _ = jax.lax.scan(body, y, None, length=16)
+            return out
+
+        x = jnp.eye(64) * 0.5
+        np.asarray(fn(x))  # compile outside the trace
+        outdir = capture_trace(lambda: np.asarray(fn(x)), str(tmp_path / "trace"))
+        report = summarize_trace(outdir, loop_threshold=8)
+        assert report["trace_file"].endswith(".trace.json.gz")
+        assert report["loop_total_us"] >= 0
+        text = format_summary(report)
+        assert "loop ops:" in text and "one-shot" in text

@@ -121,6 +121,8 @@ def _install_dep_stubs():
     their symbols are executed by the FineTune forward/sample paths we test."""
     import importlib.machinery
 
+    installed = []
+
     def stub(name):
         if name in sys.modules:
             return
@@ -128,6 +130,7 @@ def _install_dep_stubs():
         mod.__getattr__ = lambda attr: type(attr, (), {})
         mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
         sys.modules[name] = mod
+        installed.append(name)
 
     for name in ("pycocoevalcap", "pycocoevalcap.cider", "pycocoevalcap.cider.cider",
                  "pycocoevalcap.bleu", "pycocoevalcap.bleu.bleu",
@@ -141,6 +144,7 @@ def _install_dep_stubs():
                  "radgraph.allennlp.models.archival", "radgraph.utils",
                  "radgraph.rewards"):
         stub(name)
+    return installed
 
 
 def _install_torchvision_stub():
@@ -236,7 +240,7 @@ def ref_setup(tmp_path_factory):
     """(reference FineTune in eval mode, its numpy state_dict, batch arrays)."""
     _install_torchvision_stub()
     _install_transformers_aliases()
-    _install_dep_stubs()
+    stubbed = _install_dep_stubs()
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
 
@@ -286,7 +290,12 @@ def ref_setup(tmp_path_factory):
 
     batch = dict(images=images, pids_str=pids_str, ids=ids, mask=mask,
                  inc_ids=inc_ids, inc_mask=inc_mask)
-    return ref, state_dict, batch, args
+    yield ref, state_dict, batch, args
+    # the fake empty-module stubs must not leak into later test files: e.g.
+    # a stubbed 'radgraph' makes adapters' unavailable-dependency test pass
+    # the import and fail for the wrong reason (seen in full-suite ordering)
+    for name in stubbed:
+        sys.modules.pop(name, None)
 
 
 @pytest.fixture(scope="module")
