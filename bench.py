@@ -65,7 +65,7 @@ def _cost_flops(jitted, *args):
         return None
 
 
-def bench_decode(image_size, batch_sizes, iters):
+def bench_decode(image_size, batch_sizes, iters, deadline=None):
     import jax
 
     from evoke_tpu.core.config import DecodeConfig
@@ -86,6 +86,10 @@ def bench_decode(image_size, batch_sizes, iters):
     best = None
     variables = None
     for b in batch_sizes:
+        if best is not None and deadline is not None and time.perf_counter() > deadline:
+            print(f"# decode {image_size}px batch {b} skipped: budget spent",
+                  file=sys.stderr)
+            continue
         batch = _example_batch(rng, b, b, image_size, GEN_LEN, VOCAB)
         if variables is None:
             variables = jax.jit(model.init)(
@@ -288,13 +292,30 @@ def main():
 
     iters = int(os.environ.get("BENCH_ITERS", 6))
     train_batch = int(os.environ.get("BENCH_TRAIN_ANCHORS", 32))
+    # Global wall budget: cold compiles through the remote tunnel can eat many
+    # minutes; the headline 224 decode runs FIRST so a partial run still emits
+    # a valid final JSON line, and later configs are skipped (loudly) once the
+    # budget is spent.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 420))
+    t_start = time.perf_counter()
 
-    bench_train(224, train_batch, iters)
-    bench_decode(384, [int(x) for x in
-                       os.environ.get("BENCH_BATCHES_384", "32,64").split(",")], iters)
+    def spent():
+        return time.perf_counter() - t_start
+
+    deadline = t_start + budget_s
     best224 = bench_decode(224, [int(x) for x in
                                  os.environ.get("BENCH_BATCHES_224", "32,64,128").split(",")],
-                           iters)
+                           iters, deadline=deadline)
+    if spent() < budget_s:
+        bench_decode(384, [int(x) for x in
+                           os.environ.get("BENCH_BATCHES_384", "32,64").split(",")], iters,
+                     deadline=deadline)
+    else:
+        print(f"# 384 decode skipped: budget spent ({spent():.0f}s)", file=sys.stderr)
+    if spent() < budget_s:
+        bench_train(224, train_batch, iters)
+    else:
+        print(f"# train bench skipped: budget spent ({spent():.0f}s)", file=sys.stderr)
     # headline LAST (the driver parses the final JSON line): steady-state
     # serving rate at the best batch, p50 per-call latency in the description
     headline = best224.get("steady_rps", best224["rps"])
