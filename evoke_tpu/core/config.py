@@ -89,6 +89,12 @@ class DecodeConfig:
     output_logsoftmax: bool = True
     decoding_constraint: bool = False
     block_trigrams: bool = True                 # applies to the greedy/sample path (as in the reference)
+    # Cache-growth phases for KV-cached decoding: the loop's HBM traffic is
+    # linear in cache length, so early steps run with a shorter cache that is
+    # zero-padded mid-decode (exact math; see decode/beam.py grow_caches). 1 =
+    # one full-length cache. >=2 splits max_seq_len evenly. Measured on v5e-1
+    # (flagship @224, batch 32, beam 3): 436 -> 466 (2) -> 480 r/s (4).
+    cache_phases: int = 4
 
 
 @dataclass

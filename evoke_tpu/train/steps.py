@@ -121,6 +121,11 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
     common = dict(bos_id=tokenizer.bos_id, eos_id=tokenizer.eos_id, pad_id=tokenizer.pad_id,
                   vocab_size=vocab, max_len=max_seq_len)
     suppress = (tokenizer.unk_id,) if decode_cfg.suppress_unk else ()
+    phases = max(int(getattr(decode_cfg, "cache_phases", 1)), 1)
+    if phases > 1 and max_seq_len >= 2 * phases:
+        schedule = tuple(-(-max_seq_len * i // phases) for i in range(1, phases + 1))
+    else:
+        schedule = (max_seq_len,)
 
     @jax.jit
     def generate_step(state: TrainState, batch):
@@ -151,7 +156,7 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                 return res.seqs[:, 0, :]
             enc_b = _expand_for_beams(enc, beam)
             mask_b = _expand_for_beams(att_mask, beam)
-            state0 = model.apply(variables, enc_b, b * beam, max_seq_len,
+            state0 = model.apply(variables, enc_b, b * beam, schedule[0],
                                  method=model.init_decode_state)
 
             def step(tok, pos, dstate):
@@ -162,9 +167,10 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                               length_penalty=decode_cfg.length_penalty,
                               suppress_ids=suppress,
                               decoding_constraint=bool(decode_cfg.decoding_constraint),
+                              cache_schedule=schedule,
                               **common)
             return res.seqs[:, 0, :]
-        state0 = model.apply(variables, enc, b, max_seq_len, method=model.init_decode_state)
+        state0 = model.apply(variables, enc, b, schedule[0], method=model.init_decode_state)
 
         def step(tok, pos, dstate):
             return model.apply(variables, tok, pos, dstate, att_mask,
@@ -175,6 +181,7 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                                temperature=decode_cfg.temperature,
                                block_trigrams=bool(decode_cfg.block_trigrams),
                                decoding_constraint=bool(decode_cfg.decoding_constraint),
+                               cache_schedule=schedule,
                                **common)
         return seq
 

@@ -306,3 +306,78 @@ class TestEarlyStop:
                                vocab_size=V, max_len=L, block_trigrams=True)
         want = reference_greedy(M, batch, L, block_trigrams=True)
         np.testing.assert_array_equal(np.asarray(seq), want)
+
+
+def kv_toy_step(seed=0, d=8, lmax=12):
+    """A toy CAUSAL-ATTENTION step with real [N, L, D] KV caches, for testing
+    cache layouts (beam reorder + mid-decode cache growth)."""
+    rng = np.random.default_rng(seed)
+    emb = jnp.asarray(rng.normal(size=(V, d)).astype(np.float32))
+    proj = jnp.asarray(rng.normal(size=(d, V)).astype(np.float32))
+
+    def step(tok, pos, state):
+        x = emb[tok]                                           # [N, d]
+        ck = jax.lax.dynamic_update_slice(state["cache_k"][0], x[:, None, :], (0, pos, 0))
+        cv = jax.lax.dynamic_update_slice(state["cache_v"][0], x[:, None, :] * 0.5,
+                                          (0, pos, 0))
+        l = ck.shape[1]
+        mask = (jnp.arange(l) <= pos)[None, :]
+        scores = jnp.einsum("nd,nld->nl", x, ck) / np.sqrt(d)
+        scores = jnp.where(mask, scores, -1e9)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("nl,nld->nd", attn, cv)
+        logp = jax.nn.log_softmax(out @ proj, axis=-1)
+        return logp, {"cache_k": (ck,), "cache_v": (cv,)}
+
+    return step
+
+
+def kv_state(n, lmax, d=8):
+    return {"cache_k": (jnp.zeros((n, lmax, d), jnp.float32),),
+            "cache_v": (jnp.zeros((n, lmax, d), jnp.float32),)}
+
+
+class TestCacheSchedule:
+    """Phased cache growth (grow_caches) must be output-identical to a single
+    full-length cache, for beam search and the sampling path."""
+
+    @pytest.mark.parametrize("schedule", [(6, 12), (4, 8, 12), (3, 5, 9, 12)])
+    def test_beam_schedule_matches_single_phase(self, schedule):
+        batch, k, L = 3, 3, 12
+        step = kv_toy_step()
+        base = beam_search(step, kv_state(batch * k, L), batch, bos_id=BOS, eos_id=EOS,
+                           pad_id=PAD, vocab_size=V, beam_size=k, max_len=L)
+        phased = beam_search(step, kv_state(batch * k, schedule[0]), batch, bos_id=BOS,
+                             eos_id=EOS, pad_id=PAD, vocab_size=V, beam_size=k,
+                             max_len=L, cache_schedule=schedule)
+        np.testing.assert_array_equal(np.asarray(base.seqs), np.asarray(phased.seqs))
+        np.testing.assert_allclose(np.asarray(base.scores), np.asarray(phased.scores),
+                                   rtol=1e-6)
+
+    def test_beam_schedule_matches_under_scan_path(self):
+        batch, k, L = 2, 3, 12
+        step = kv_toy_step(4)
+        base = beam_search(step, kv_state(batch * k, L), batch, bos_id=BOS, eos_id=EOS,
+                           pad_id=PAD, vocab_size=V, beam_size=k, max_len=L,
+                           early_stop=False)
+        phased = beam_search(step, kv_state(batch * k, 6), batch, bos_id=BOS,
+                             eos_id=EOS, pad_id=PAD, vocab_size=V, beam_size=k,
+                             max_len=L, early_stop=False, cache_schedule=(6, 12))
+        np.testing.assert_array_equal(np.asarray(base.seqs), np.asarray(phased.seqs))
+
+    def test_greedy_schedule_matches_single_phase(self):
+        batch, L = 4, 12
+        step = kv_toy_step(7)
+        kw = dict(bos_id=BOS, eos_id=EOS, pad_id=PAD, vocab_size=V, max_len=L,
+                  block_trigrams=True)
+        base, base_lp = greedy_sample(step, kv_state(batch, L), batch, **kw)
+        phased, ph_lp = greedy_sample(step, kv_state(batch, 6), batch,
+                                      cache_schedule=(6, 12), **kw)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(phased))
+        np.testing.assert_allclose(np.asarray(base_lp), np.asarray(ph_lp), rtol=1e-6)
+
+    def test_bad_schedule_rejected(self):
+        step = kv_toy_step()
+        with pytest.raises(AssertionError):
+            beam_search(step, kv_state(3, 5), 1, bos_id=BOS, eos_id=EOS, pad_id=PAD,
+                        vocab_size=V, beam_size=3, max_len=12, cache_schedule=(5, 10))

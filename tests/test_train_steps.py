@@ -2,6 +2,8 @@
 jitted DP train steps must decrease the loss; generation must emit decodable
 sequences; dp-sharded steps must match single-device math."""
 
+from dataclasses import replace
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -75,6 +77,20 @@ class TestFinetuneTraining:
                                                                  sample_method="greedy"), 16)
         seqs_g = gen_greedy(state, batch)
         assert seqs_g.shape == (8, 16)
+
+    def test_cache_phases_output_identical(self, tok, batch):
+        """Phased KV-cache growth (DecodeConfig.cache_phases) must not change
+        a single generated token, through the full model's decode_step."""
+        model = FinetuneModel(vocab_size=tok.get_vocab_size(), max_seq_len=16, **DEC, **SMALL)
+        variables = jax.jit(model.init)(KEY, batch["images"], batch["ids"], batch["mask"],
+                                        batch["pids"], batch["valid"])
+        tx = build_optimizer("RAdam", "finetune", variables["params"],
+                             pt_lr=1e-3, ft_lr=1e-3, weight_decay=0.0)
+        state = create_train_state(variables, tx)
+        for cfg in (DecodeConfig(beam_size=3), DecodeConfig(beam_size=1, sample_method="greedy")):
+            one = make_generate_step(model, tok, replace(cfg, cache_phases=1), 16)(state, batch)
+            four = make_generate_step(model, tok, replace(cfg, cache_phases=4), 16)(state, batch)
+            np.testing.assert_array_equal(np.asarray(one), np.asarray(four))
 
     def test_two_group_lrs_differ(self, tok, batch):
         model = FinetuneModel(vocab_size=tok.get_vocab_size(), max_seq_len=16, **DEC, **SMALL)
