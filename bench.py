@@ -283,6 +283,37 @@ def main():
         print(format_summary(summarize_trace(outdir)), file=sys.stderr)
         return
 
+    if "--profile-train" in sys.argv:
+        # device-trace digest of one jitted train step
+        from evoke_tpu.core.profiling import capture_trace, format_summary, summarize_trace
+        from evoke_tpu.core import prng
+        from evoke_tpu.train.optim import build_optimizer
+        from evoke_tpu.train.steps import create_train_state, make_train_step
+        from __graft_entry__ import _example_batch, _flagship
+
+        b = int(os.environ.get("BENCH_ANCHORS", 32))
+        model = _flagship(vocab_size=VOCAB)
+        data = _example_batch(np.random.default_rng(0), b, b, 224, GEN_LEN, VOCAB)
+        variables = jax.jit(lambda k: model.init(
+            k, data["images"], data["ids"], data["mask"], data["pids"], data["valid"],
+            data["inc_ids"], data["inc_mask"], method=model.warmup))(jax.random.key(0))
+        tx = build_optimizer("RAdam", "finetune", variables["params"],
+                             pt_lr=5e-6, ft_lr=5e-5, weight_decay=1e-4)
+        state = create_train_state(variables, tx)
+        step = make_train_step(model, tx, prng.root_key(0), with_indication=True)
+        data = jax.device_put(data)
+        state, _ = step(state, data)  # compile + warmup
+
+        def one():
+            nonlocal state
+            state, m = step(state, data)
+            jax.block_until_ready(m)
+
+        one()
+        outdir = capture_trace(one, "/tmp/evoke_profile_train")
+        print(format_summary(summarize_trace(outdir)), file=sys.stderr)
+        return
+
     if "--pipeline" in sys.argv:
         bench_pipeline(int(os.environ.get("BENCH_IMAGE_SIZE", 224)),
                        int(os.environ.get("BENCH_ANCHORS", 16)),
