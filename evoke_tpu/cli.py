@@ -1,7 +1,7 @@
 """Command-line entry point: ``python -m evoke_tpu.cli <task> [--key value ...]``.
 
 Capability parity: EVOKE's main_224.py / main_384.py + run scripts surface —
-tasks pretrain | finetune | test | retrieve | score, argparse-over-YAML config,
+tasks pretrain | finetune | test | retrieve | score | serve, argparse-over-YAML config,
 result-dir layout results/{data}/{task}/{version}, same CSV/log artifacts.
 Resolution (224 vs 384) is a config knob (model.image_size), not a separate
 entry point.
@@ -132,12 +132,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
-        print("tasks: pretrain | finetune | test | retrieve | score")
+        print("tasks: pretrain | finetune | test | retrieve | score | serve")
         return 0
     task = argv[0]
-    if task not in ("pretrain", "finetune", "test", "retrieve", "score"):
+    if task not in ("pretrain", "finetune", "test", "retrieve", "score", "serve"):
         print(f"unknown task {task!r}; "
-              f"tasks: pretrain | finetune | test | retrieve | score", file=sys.stderr)
+              f"tasks: pretrain | finetune | test | retrieve | score | serve", file=sys.stderr)
         return 2
     from evoke_tpu.core.config import load_config
 
@@ -146,10 +146,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         i = argv.index("--config")
         yaml_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
-    cfg = load_config(yaml_path, overrides={"trainer.task": task
-                                            if task != "retrieve" else "pretrain"},
-                      argv=argv[1:])
-    cfg.trainer.task = task if task != "retrieve" else "pretrain"
+    cfg_task = {"retrieve": "pretrain", "serve": "test"}.get(task, task)
+    cfg = load_config(yaml_path, overrides={"trainer.task": cfg_task}, argv=argv[1:])
+    cfg.trainer.task = cfg_task
 
     if task == "score":
         return _score(cfg)
@@ -166,7 +165,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     model = build_model(cfg, cfg.vocab_size, "pretrain" if task in ("pretrain", "retrieve")
                         else "finetune")
     loaders = build_loaders(cfg, tokenizer, ann,
-                            "pretrain" if task in ("pretrain", "retrieve") else task)
+                            "pretrain" if task in ("pretrain", "retrieve") else cfg.trainer.task)
 
     from evoke_tpu.train.trainer import FinetuneTrainer, PretrainTrainer, Tester
 
@@ -192,8 +191,53 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 0
     if task == "retrieve":
         return _retrieve(cfg, model, tokenizer, ann, loaders)
+    if task == "serve":
+        state, _ = init_finetune_state(cfg, model, loaders)
+        return _serve(cfg, model, tokenizer, loaders, state)
     print(f"unknown task {task!r}", file=sys.stderr)
     return 2
+
+
+def _serve(cfg, model, tokenizer, loaders, state) -> int:
+    """Production-style streaming inference over the test split: pipelined
+    beam decode (bounded in-flight depth), predictions CSV + throughput stats.
+    Unlike ``test`` this runs no metric scoring — it is the serving path."""
+    import csv
+
+    from evoke_tpu.core.checkpoint import CheckpointManager
+    from evoke_tpu.serve import ReportServer
+
+    if cfg.trainer.load:
+        mgr = CheckpointManager(os.path.dirname(cfg.trainer.load) or ".")
+        merged, report = mgr.partial_restore_from(cfg.trainer.load, state.params)
+        state = state.replace(params=merged)
+        print(f"loaded weights: {report}")
+    server = ReportServer(model, tokenizer, state, cfg.decode,
+                          max_seq_len=cfg.data.max_seq_len)
+    records: List[Dict] = []
+    stats: List[Dict[str, float]] = []
+    inc, no = loaders["test"]
+    for loader, with_ind in ((inc, True), (no, False)):
+        if loader is None:
+            continue
+        records.extend(server.serve(loader, with_indication=with_ind))
+        stats.append(dict(server.stats))
+    os.makedirs(cfg.result_dir, exist_ok=True)
+    out_path = os.path.join(cfg.result_dir, "serve_prediction.csv")
+    with open(out_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["images_id", "generated_reports", "ground_truth"])
+        for r in records:
+            w.writerow([r["id"], r["report"], r.get("gt", "")])
+    wall = sum(s["wall_s"] for s in stats)
+    summary = {
+        "reports": int(sum(s["reports"] for s in stats)),
+        "wall_s": round(wall, 3),
+        "reports_per_s": round(sum(s["reports"] for s in stats) / wall, 3) if wall else None,
+        "prediction_csv": out_path,
+    }
+    print(json.dumps(summary))
+    return 0
 
 
 def _score(cfg) -> int:

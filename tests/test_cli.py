@@ -122,3 +122,25 @@ class TestFullPipelineCLI:
         import pandas as pd
         df = pd.read_csv(os.path.join(t_dir, "test_prediction.csv"), dtype=str)
         assert df.iloc[0]["images_id"].startswith("__metric__")
+
+
+@pytest.mark.slow
+class TestServeCLI:
+    def test_serve_writes_predictions_and_stats(self, tmp_path, capsys):
+        root = str(tmp_path)
+        ann = write_synthetic_dataset(root, n_train=4, n_val=2, n_test=3, image_size=32)
+        rc = cli_main(["serve", "--data.ann_path", ann, "--data.image_dir", root,
+                       "--data.tokenizer_dir", os.path.join(root, "tok"),
+                       "--trainer.result_dir", os.path.join(root, "results"),
+                       "--trainer.version", "srv"] + TINY)
+        assert rc == 0
+        out_lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+        stats = json.loads(out_lines[-1])
+        assert stats["reports"] == 3 and stats["reports_per_s"] > 0
+        csv_path = stats["prediction_csv"]
+        assert os.path.exists(csv_path)
+        import csv as _csv
+        rows = list(_csv.reader(open(csv_path)))
+        assert rows[0] == ["images_id", "generated_reports", "ground_truth"]
+        assert len(rows) == 4  # header + 3 test studies
+        assert all(r[1].strip() for r in rows[1:])  # every study got a report
