@@ -146,7 +146,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         i = argv.index("--config")
         yaml_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
-    cfg_task = {"retrieve": "pretrain", "serve": "test"}.get(task, task)
+    # serve keeps its own task name (results/{data}/serve/{version}) so a serve
+    # run never shares a result directory with a real test run of the same
+    # version; loader/model construction below treats it like test anyway.
+    cfg_task = {"retrieve": "pretrain"}.get(task, task)
     cfg = load_config(yaml_path, overrides={"trainer.task": cfg_task}, argv=argv[1:])
     cfg.trainer.task = cfg_task
 

@@ -94,7 +94,11 @@ class DecodeConfig:
     # zero-padded mid-decode (exact math; see decode/beam.py grow_caches). 1 =
     # one full-length cache. >=2 splits max_seq_len evenly. Measured on v5e-1
     # (flagship @224, batch 32, beam 3): 436 -> 466 (2) -> 480 r/s (4).
-    cache_phases: int = 4
+    # 0 = auto: 1 on the test/eval path (differently-compiled segments round
+    # differently on TPU bf16, flipping a few near-tie beams — eval outputs
+    # stay bit-comparable across runs and to the reference), 4 on the serving
+    # path (throughput; make_generate_step(serving=True)).
+    cache_phases: int = 0
 
 
 @dataclass

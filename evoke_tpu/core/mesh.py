@@ -55,11 +55,15 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
+def shard_batch(batch: Any, mesh: Mesh, allow_replicate: bool = False) -> Any:
     """Device-put a pytree of host arrays, sharding every leaf's leading dim over dp.
 
     Scalars / 0-d leaves are replicated. Leading dims must be divisible by dp
-    (the data pipeline pads batches to a fixed size that is a multiple of dp).
+    (the data pipeline pads batches to a fixed size that is a multiple of dp);
+    a non-divisible leading dim raises, because silently replicating it would
+    drop data parallelism AND change the global-batch contrastive semantics the
+    losses assume. Pass ``allow_replicate=True`` for pytrees that intentionally
+    mix dp-sharded and replicated full-size leaves.
     """
     dp = mesh.shape["dp"]
     sharded = batch_sharding(mesh)
@@ -67,7 +71,15 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim == 0 or x.shape[0] % dp != 0:
+        if x.ndim == 0:
+            return jax.device_put(x, repl)
+        if x.shape[0] % dp != 0:
+            if not allow_replicate:
+                raise ValueError(
+                    f"shard_batch: leading dim {x.shape[0]} of a leaf with shape "
+                    f"{x.shape} is not divisible by dp={dp}; pad the batch to a "
+                    f"multiple of dp, or pass allow_replicate=True to replicate "
+                    f"such leaves explicitly")
             return jax.device_put(x, repl)
         return jax.device_put(x, sharded)
 

@@ -84,15 +84,32 @@ def _next_after(schedule: Tuple[int, ...], seg_end: int) -> int:
     return schedule[schedule.index(seg_end) + 1]
 
 
+def _validate_schedule(schedule: Tuple[int, ...], max_len: int) -> Tuple[int, ...]:
+    """Cache schedules must strictly ascend and end at max_len — a malformed
+    schedule would silently skip decode segments via the while_loop cond."""
+    schedule = tuple(schedule)
+    assert schedule and schedule[-1] == max_len and all(
+        a < b for a, b in zip(schedule, schedule[1:])), \
+        f"cache_schedule {schedule} must strictly ascend and end at max_len={max_len}"
+    return schedule
+
+
 def grow_caches(state, new_len: int):
     """Zero-pad the time axis (1) of the self-attention KV caches to new_len.
 
     All decoders in this framework keep per-layer tuples of [N, L, D] caches
     under ``cache_k``/``cache_v``; slots >= the current position are never read
     (the step's self mask is ``arange(L) <= pos``), so padding mid-decode is
-    exact. States without the cache_k/cache_v layout pass through unchanged."""
-    if not isinstance(state, dict):
-        return state
+    exact. A state without that layout fails LOUDLY: sized-to-schedule[0]
+    caches that never grow would make dynamic_update_slice clamp writes at
+    pos >= schedule[0], silently corrupting the last cache slot."""
+    if not isinstance(state, dict) or not {"cache_k", "cache_v"} <= set(state):
+        raise TypeError(
+            "grow_caches: a multi-phase cache_schedule requires a dict decode "
+            "state with 'cache_k'/'cache_v' [N, L, D] caches; got "
+            f"{type(state).__name__} with keys "
+            f"{sorted(state) if isinstance(state, dict) else 'n/a'}. Use "
+            "cache_phases=1 (single-phase) for decoders with a different state layout.")
 
     def pad(x):
         if x.shape[1] >= new_len:
@@ -100,8 +117,13 @@ def grow_caches(state, new_len: int):
         fill = jnp.zeros((x.shape[0], new_len - x.shape[1]) + x.shape[2:], x.dtype)
         return jnp.concatenate([x, fill], axis=1)
 
-    return {key: (jax.tree_util.tree_map(pad, v) if key in ("cache_k", "cache_v") else v)
-            for key, v in state.items()}
+    out = {key: (jax.tree_util.tree_map(pad, v) if key in ("cache_k", "cache_v") else v)
+           for key, v in state.items()}
+    for key in ("cache_k", "cache_v"):
+        for leaf in jax.tree_util.tree_leaves(out[key]):
+            assert leaf.shape[1] == new_len, \
+                f"grow_caches: {key} time axis {leaf.shape[1]} != target {new_len}"
+    return out
 
 
 def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, pad_id: int,
@@ -134,13 +156,8 @@ def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, p
     k = beam_size
     n = batch * k
     lp = penalty_fn(length_penalty)
-    if cache_schedule is not None:
-        schedule = tuple(cache_schedule)
-        assert schedule[-1] == max_len and all(
-            a < b for a, b in zip(schedule, schedule[1:])), \
-            f"cache_schedule {schedule} must ascend and end at max_len={max_len}"
-    else:
-        schedule = (max_len,)
+    schedule = (_validate_schedule(cache_schedule, max_len)
+                if cache_schedule is not None else (max_len,))
 
     def scan_body(carry, t):
         (tok, dec_state, alive_logp, seq, done_seq, done_score, ever_finished) = carry
@@ -354,8 +371,8 @@ def greedy_sample(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int,
     """Single-beam sampling with trigram blocking. Returns (seq [B, L], logp_sum [B])."""
     if rng is None:
         rng = jax.random.key(0)
-    schedule = tuple(cache_schedule) if cache_schedule is not None else (max_len,)
-    assert schedule[-1] == max_len
+    schedule = (_validate_schedule(cache_schedule, max_len)
+                if cache_schedule is not None else (max_len,))
 
     def sample_next(logp, key):
         if sample_method == "greedy":

@@ -19,6 +19,8 @@ import json
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import numpy as np
+
 
 class MetricUnavailable(RuntimeError):
     pass
@@ -203,7 +205,11 @@ class GreenAdapter:
         return self.summarize(responses)
 
     @classmethod
-    def summarize(cls, responses: Sequence[str]) -> Dict[str, object]:
+    def summarize(cls, responses: Sequence[str],
+                  embed_fn=None) -> Dict[str, object]:
+        """Aggregate GREEN results; with ``embed_fn`` (sentences -> [N, D]
+        embeddings) also computes the reference's representative-sentence
+        summary per significant-error subcategory (green.py:397-415)."""
         scores = [cls.compute_green(r) for r in responses]
         counts = [cls.error_counts(r) for r in responses]
         n = max(len(responses), 1)
@@ -213,10 +219,157 @@ class GreenAdapter:
         accuracies = {
             sub: sum(1 for c in counts if c[i] == 0) / n
             for i, sub in enumerate(cls.SUB_CATEGORIES)}
-        return {"green_mean": mean, "green_std": std, "scores": scores,
-                "error_counts": counts, "accuracies": accuracies,
-                "summary": (f"[Summary]: Green average {mean} and standard "
-                            f"variation {std}")}
+        out = {"green_mean": mean, "green_std": std, "scores": scores,
+               "error_counts": counts, "accuracies": accuracies,
+               "summary": (f"[Summary]: Green average {mean} and standard "
+                           f"variation {std}")}
+        if embed_fn is not None:
+            reps = cls.representative_sentences(responses, embed_fn)
+            out["representative_sentences"] = reps
+            lines = [f"[Summary]: Green average {mean} and standard variation "
+                     f"{std} \n [Clinically Significant Errors Analyses]: "
+                     "<accuracy>. <representative error>"]
+            for sub in cls.SUB_CATEGORIES:
+                lines.append(f"{sub}: {accuracies[sub]}. \n {reps[sub]}")
+            out["summary"] = " \n\n ".join(lines)
+        return out
+
+    # ---- representative-sentence summary (green_score/utils.py:15-109) ----
+
+    @classmethod
+    def parse_error_sentences(cls, response: str, category: str) -> Dict[str, List[str]]:
+        """Per-subcategory error sentences of one response (green.py:296-347):
+        the text after the count, split on ';'."""
+        import re
+
+        out: Dict[str, List[str]] = {sub: [] for sub in cls.SUB_CATEGORIES}
+        m = re.search(rf"\[{category}\]:\s*(.*?)(?:\n\s*\n|\Z)", response, re.DOTALL)
+        if not m or m.group(1).startswith("No"):
+            return out
+        matches = sorted(re.findall(r"\([a-f]\) .*", m.group(1)))
+        subs = cls.SUB_CATEGORIES
+        if not matches:  # numeric template variant
+            matches = sorted(re.findall(r"\([1-6]\) .*", m.group(1)))
+            subs = [f"({i}) " for i in range(1, 7)]
+        for pos, sub in enumerate(subs):
+            for match in matches:
+                if match.startswith(sub.split(" ", 1)[0] + " "):
+                    out[cls.SUB_CATEGORIES[pos]] = (
+                        match.rsplit(":", 1)[-1].split(".", 1)[-1].split(";"))
+        return out
+
+    @classmethod
+    def representative_sentences(cls, responses: Sequence[str],
+                                 embed_fn) -> Dict[str, Optional[str]]:
+        """Most-representative significant-error sentence per subcategory: pool
+        sentences across responses, k-means-cluster their embeddings (k chosen
+        by silhouette binary search), take the largest cluster's sentence
+        closest to its center (green.py:353-369, utils.py:15-109)."""
+        pooled: Dict[str, List[str]] = {sub: [] for sub in cls.SUB_CATEGORIES}
+        for r in responses:
+            for sub, sents in cls.parse_error_sentences(r, cls.CATEGORIES[0]).items():
+                pooled[sub].extend(s for s in sents if s.strip())
+        out: Dict[str, Optional[str]] = {}
+        for sub, sentences in pooled.items():
+            if not sentences:
+                out[sub] = None
+                continue
+            emb = np.asarray(embed_fn(sentences), np.float64)
+            emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+            out[sub] = cls._largest_cluster_representative(emb, sentences)
+        return out
+
+    @staticmethod
+    def _kmeans(data: np.ndarray, k: int, seed: int = 42, iters: int = 50):
+        """Deterministic k-means (k-means++ init) in plain numpy — the eval
+        edge needs no sklearn. Returns (labels, centers)."""
+        rng = np.random.default_rng(seed)
+        centers = [data[int(rng.integers(len(data)))]]
+        for _ in range(1, k):
+            d2 = np.min(((data[:, None, :] - np.stack(centers)[None]) ** 2
+                         ).sum(-1), axis=1)
+            total = d2.sum()
+            probs = d2 / total if total > 0 else np.full(len(data), 1.0 / len(data))
+            centers.append(data[int(rng.choice(len(data), p=probs))])
+        centers = np.stack(centers)
+        labels = np.zeros(len(data), np.int64)
+        for _ in range(iters):
+            d = ((data[:, None, :] - centers[None]) ** 2).sum(-1)
+            new_labels = d.argmin(1)
+            if (new_labels == labels).all() and _ > 0:
+                break
+            labels = new_labels
+            for j in range(k):
+                pts = data[labels == j]
+                if len(pts):
+                    centers[j] = pts.mean(0)
+        return labels, centers
+
+    @staticmethod
+    def _silhouette(data: np.ndarray, labels: np.ndarray) -> float:
+        """Mean silhouette coefficient (euclidean), plain numpy."""
+        d = np.sqrt(((data[:, None, :] - data[None]) ** 2).sum(-1))
+        uniq = np.unique(labels)
+        scores = []
+        for i in range(len(data)):
+            same = (labels == labels[i])
+            n_same = same.sum() - 1
+            if n_same == 0:
+                scores.append(0.0)
+                continue
+            a = d[i][same].sum() / n_same
+            b = min(d[i][labels == c].mean() for c in uniq if c != labels[i])
+            scores.append((b - a) / max(a, b) if max(a, b) > 0 else 0.0)
+        return float(np.mean(scores))
+
+    @classmethod
+    def _largest_cluster_representative(cls, emb: np.ndarray,
+                                        sentences: List[str]) -> str:
+        """Binary-search k on silhouette (utils.py:76-109), largest cluster,
+        sentence nearest (cosine) to its center (utils.py:15-46)."""
+        if len(sentences) == 1:
+            return sentences[0]
+        best_labels, best_centers = cls._kmeans(emb, 1)
+        best_score, lo, hi = -1.0, 0, len(sentences)
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if mid < 2:
+                break
+            if mid >= len(sentences):
+                hi = mid - 1
+                continue
+            labels, centers = cls._kmeans(emb, mid)
+            if len(np.unique(labels)) < 2:
+                hi = mid - 1
+                continue
+            score = cls._silhouette(emb, labels)
+            if score > best_score:
+                best_score, best_labels, best_centers = score, labels, centers
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        sizes = np.bincount(best_labels)
+        big = int(np.argmax(sizes))
+        member_ids = np.where(best_labels == big)[0]
+        center = best_centers[big]
+        cn = center / max(np.linalg.norm(center), 1e-12)
+        cos_d = 1.0 - emb[member_ids] @ cn
+        return sentences[int(member_ids[int(np.argmin(cos_d))])]
+
+    @staticmethod
+    def sentence_embed_fn(model_path: str):
+        """Gated sentence-transformers embedder (the reference's
+        paraphrase-mpnet-base-v2, utils.py:62-66); raises MetricUnavailable
+        when the package or local checkpoint is absent."""
+        try:
+            from sentence_transformers import SentenceTransformer  # type: ignore
+        except ImportError as e:
+            raise MetricUnavailable(f"sentence-transformers not installed: {e}")
+        if not os.path.isdir(model_path):
+            raise MetricUnavailable(f"sentence embedder not found at {model_path}")
+        model = SentenceTransformer(model_name_or_path=model_path,
+                                    local_files_only=True)
+        return lambda sentences: model.encode(sentences)
 
     # ---- response parsing (green_score contract) ----
 

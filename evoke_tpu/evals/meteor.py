@@ -10,11 +10,22 @@ Data-gated stages (the jar ships data files this image cannot download):
   importable, else a suffix-stripping fallback;
 - synonym: WordNet synsets when the nltk wordnet corpus is on disk;
 - paraphrase: a word-level paraphrase table loaded from ``paraphrase_path``
-  (one 'phrase ||| phrase' pair per line, METEOR data format).
+  (one 'phrase ||| phrase' pair per line, METEOR data format; plain text or
+  gzip).
 
 When synonym/paraphrase data is absent the scorer degrades to exact+stem,
 which lands within ~0.005 absolute of the jar's published values on the
 reference's 3852-report test set (tests/test_golden_metrics.py).
+
+Exactness hooks on an eval host (activate via environment, no code change):
+- ``EVOKE_METEOR_JAR=/path/to/meteor-1.5.jar`` — score with the actual jar
+  through its ``-stdio`` protocol (bit-exact with the reference's
+  pycocoevalcap numbers, modules/metrics/metrics.py:17-47); needs ``java``.
+- ``EVOKE_METEOR_PARAPHRASE=/path/to/paraphrase-en.gz`` (or
+  ``EVOKE_METEOR_DATA=<dir>`` containing ``paraphrase-en.gz``/``.txt``) —
+  enable the paraphrase stage of the pure-Python scorer.
+- WordNet: point ``NLTK_DATA`` at a directory containing ``corpora/wordnet``
+  to enable the synonym stage.
 """
 
 from __future__ import annotations
@@ -86,8 +97,11 @@ class Meteor15:
     def _load_paraphrases(path: Optional[str]) -> Optional[Dict[str, set]]:
         if not path or not os.path.exists(path):
             return None
+        import gzip
+
+        opener = gzip.open if path.endswith(".gz") else open
         table: Dict[str, set] = {}
-        with open(path) as f:
+        with opener(path, "rt") as f:
             for line in f:
                 parts = [p.strip() for p in line.split("|||")]
                 if len(parts) < 2 or not parts[0] or not parts[1]:
@@ -180,3 +194,82 @@ class Meteor15:
 def meteor(gts: TextSet, res: TextSet, paraphrase_path: Optional[str] = None
            ) -> Tuple[float, List[float]]:
     return Meteor15(paraphrase_path=paraphrase_path)(gts, res)
+
+
+def default_paraphrase_path() -> Optional[str]:
+    """Resolve the paraphrase-table path from the environment (module
+    docstring's file-layout contract); None when no data is supplied."""
+    p = os.environ.get("EVOKE_METEOR_PARAPHRASE")
+    if p and os.path.exists(p):
+        return p
+    root = os.environ.get("EVOKE_METEOR_DATA")
+    if root:
+        for name in ("paraphrase-en.gz", "paraphrase-en.txt", "paraphrase.txt"):
+            cand = os.path.join(root, name)
+            if os.path.exists(cand):
+                return cand
+    return None
+
+
+class MeteorJar:
+    """Bit-exact METEOR via the actual 1.5 jar's ``-stdio`` protocol.
+
+    The reference scores METEOR with this jar through pycocoevalcap
+    (modules/metrics/metrics.py:17-47); on an eval host with Java + the jar,
+    setting ``EVOKE_METEOR_JAR`` routes the METEOR column through it so the
+    number is exactly comparable to the published CSVs. The pure-Python
+    ``Meteor15`` stays the offline default.
+    """
+
+    def __init__(self, jar_path: str, language: str = "en"):
+        import shutil
+        import subprocess
+        import threading
+
+        if shutil.which("java") is None:
+            raise RuntimeError("MeteorJar: no `java` on PATH")
+        if not os.path.exists(jar_path):
+            raise RuntimeError(f"MeteorJar: jar not found at {jar_path}")
+        self._lock = threading.Lock()
+        self._proc = subprocess.Popen(
+            ["java", "-jar", "-Xmx2G", os.path.basename(jar_path), "-", "-",
+             "-stdio", "-l", language, "-norm"],
+            cwd=os.path.dirname(os.path.abspath(jar_path)) or ".",
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, bufsize=1)
+
+    def _io(self, line: str) -> str:
+        assert self._proc.stdin and self._proc.stdout
+        self._proc.stdin.write(line.replace("\n", " ") + "\n")
+        self._proc.stdin.flush()
+        return self._proc.stdout.readline().strip()
+
+    def __call__(self, gts: TextSet, res: TextSet) -> Tuple[float, List[float]]:
+        gts, res = _as_dicts(gts, res)
+        with self._lock:
+            stats = []
+            for key in gts:
+                refs = " ||| ".join(r.replace("|||", " ") for r in gts[key])
+                hyp = res[key][0].replace("|||", " ")
+                stats.append(self._io(f"SCORE ||| {refs} ||| {hyp}"))
+            assert self._proc.stdin and self._proc.stdout
+            self._proc.stdin.write("EVAL ||| " + " ||| ".join(stats) + "\n")
+            self._proc.stdin.flush()
+            scores = [float(self._proc.stdout.readline().strip())
+                      for _ in range(len(stats))]
+            final = float(self._proc.stdout.readline().strip())
+        return final, scores
+
+    def close(self) -> None:
+        if self._proc.poll() is None:
+            try:
+                self._proc.stdin.close()  # type: ignore[union-attr]
+                self._proc.wait(timeout=5)
+            except Exception:
+                self._proc.kill()
+
+    def __del__(self):  # best-effort cleanup
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -284,11 +284,29 @@ _METEOR15 = None
 
 
 def _meteor15():
-    """Build the METEOR 1.5 scorer once per process (stage probing hits disk)."""
+    """Build the METEOR scorer once per process (stage probing hits disk).
+
+    Exactness hooks (evals/meteor.py docstring): EVOKE_METEOR_JAR routes the
+    column through the actual 1.5 jar (bit-exact with the reference's
+    pycocoevalcap numbers); EVOKE_METEOR_PARAPHRASE / EVOKE_METEOR_DATA enable
+    the paraphrase stage of the pure-Python scorer. With neither, the
+    validated exact+stem default runs (±0.005 of the jar on the golden set).
+    """
     global _METEOR15
     if _METEOR15 is None:
-        from evoke_tpu.evals.meteor import Meteor15
-        _METEOR15 = Meteor15()
+        import os
+
+        from evoke_tpu.evals.meteor import Meteor15, MeteorJar, default_paraphrase_path
+        jar = os.environ.get("EVOKE_METEOR_JAR")
+        if jar:
+            try:
+                _METEOR15 = MeteorJar(jar)
+            except Exception as e:
+                import sys
+                print(f"[metrics] METEOR jar unavailable ({e}); "
+                      "using the pure-Python scorer", file=sys.stderr)
+        if _METEOR15 is None:
+            _METEOR15 = Meteor15(paraphrase_path=default_paraphrase_path())
     return _METEOR15
 
 

@@ -68,9 +68,9 @@ class ReportServer:
         self.mesh = mesh
         self._gen = {
             True: make_generate_step(model, tokenizer, decode_cfg, max_seq_len,
-                                     with_indication=True),
+                                     with_indication=True, serving=True),
             False: make_generate_step(model, tokenizer, decode_cfg, max_seq_len,
-                                      with_indication=False),
+                                      with_indication=False, serving=True),
         }
         self.stats: Dict[str, float] = {}
 

@@ -110,18 +110,22 @@ def _expand_for_beams(tree, beam: int):
 
 
 def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
-                       with_indication: bool = False):
+                       with_indication: bool = False, serving: bool = False):
     """Returns a jitted (state, batch) -> seq [B, L] generation step.
 
     Dispatches to beam search (beam_size > 1) or greedy/sampling, mirroring
-    att_model._sample's dispatch (att_model.py:151-155).
+    att_model._sample's dispatch (att_model.py:151-155). ``serving=True``
+    resolves cache_phases=0 (auto) to the measured-fastest phased schedule;
+    eval paths resolve to single-phase for bit-comparable outputs.
     """
     beam = decode_cfg.beam_size
     vocab = tokenizer.get_vocab_size() + 1
     common = dict(bos_id=tokenizer.bos_id, eos_id=tokenizer.eos_id, pad_id=tokenizer.pad_id,
                   vocab_size=vocab, max_len=max_seq_len)
     suppress = (tokenizer.unk_id,) if decode_cfg.suppress_unk else ()
-    phases = max(int(getattr(decode_cfg, "cache_phases", 1)), 1)
+    phases = int(getattr(decode_cfg, "cache_phases", 0))
+    if phases <= 0:
+        phases = 4 if serving else 1
     if phases > 1 and max_seq_len >= 2 * phases:
         schedule = tuple(-(-max_seq_len * i // phases) for i in range(1, phases + 1))
     else:

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import os
 import time
-from collections import defaultdict
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -42,6 +41,30 @@ MetricsFn = Callable[[Dict[str, List[str]], Dict[str, List[str]]], Dict[str, flo
 
 def _strip_private(batch):
     return {k: v for k, v in batch.items() if not k.startswith("_")}
+
+
+def _host_scalar(x) -> float:
+    """The ONLY host-sync point for step metrics.
+
+    Everything else accumulates device-side (``_accumulate``); tests monkeypatch
+    this to assert the hot loop performs no per-step device fetch.
+    """
+    return float(x)
+
+
+def _accumulate(sums: dict, metrics: dict) -> None:
+    """Add a step's metric dict into running sums WITHOUT leaving the device.
+
+    Each add is one async-dispatched scalar op; the host never blocks here.
+    """
+    for k, v in metrics.items():
+        sums[k] = v + sums[k] if k in sums else v
+
+
+def _epoch_means(sums: dict, n: int) -> Dict[str, float]:
+    """One device fetch for the whole epoch's accumulated metric sums."""
+    host = jax.device_get(dict(sums))
+    return {k: float(v) / max(n, 1) for k, v in host.items()}
 
 
 class BaseTrainer:
@@ -220,28 +243,26 @@ class PretrainTrainer(BaseTrainer):
         self.eval_step = make_eval_step(model)
 
     def _run_split(self, loader) -> Dict[str, float]:
-        sums, n = defaultdict(float), 0
+        sums, n = {}, 0
         for batch, _ in device_prefetch(Prefetcher(loader, self.cfg.data.prefetch),
                                         self.mesh, self.cfg.data.prefetch):
             out = self.eval_step(self.state, batch)
-            for k, v in out.items():
-                sums[k] += float(v)
+            _accumulate(sums, out)
             n += 1
-        return {k: v / max(n, 1) for k, v in sums.items()}
+        return _epoch_means(sums, n)
 
     def _train_epoch(self, epoch: int) -> Dict[str, float]:
-        sums, n = defaultdict(float), 0
+        sums, n = {}, 0
         for i, (batch, _) in enumerate(device_prefetch(
                 Prefetcher(self.loaders["train"], self.cfg.data.prefetch),
                 self.mesh, self.cfg.data.prefetch)):
             self.state, metrics = self.train_step(self.state, batch)
-            for k, v in metrics.items():
-                sums[k] += float(v)
+            _accumulate(sums, metrics)
             n += 1
             if i % self.cfg.trainer.log_interval == 0:
                 self.logger.info(f"epoch {epoch} step {i}: "
-                                 f"all_loss {float(metrics['all_loss']):.4f}")
-        log = {f"train_{k}": v / max(n, 1) for k, v in sums.items()}
+                                 f"all_loss {_host_scalar(metrics['all_loss']):.4f}")
+        log = {f"train_{k}": v for k, v in _epoch_means(sums, n).items()}
         log.update({f"val_{k}": v for k, v in self._run_split(self.loaders["val"]).items()})
         if self.loaders["test"] is not None and epoch % self.cfg.trainer.test_every == 0:
             log.update({f"test_{k}": v
@@ -273,7 +294,7 @@ class FinetuneTrainer(BaseTrainer):
                          for s in ("val", "test")}
 
     def _train_epoch(self, epoch: int) -> Dict[str, float]:
-        sums, n = defaultdict(float), 0
+        sums, n = {}, 0
         for loader, step in ((self.train_loaders[0], self.step_inc),
                              (self.train_loaders[1], self.step_noinc)):
             if loader is None:
@@ -282,13 +303,12 @@ class FinetuneTrainer(BaseTrainer):
                     Prefetcher(loader, self.cfg.data.prefetch),
                     self.mesh, self.cfg.data.prefetch)):
                 self.state, metrics = step(self.state, batch)
-                for k, v in metrics.items():
-                    sums[k] += float(v)
+                _accumulate(sums, metrics)
                 n += 1
                 if i % self.cfg.trainer.log_interval == 0:
                     self.logger.info(f"epoch {epoch} step {i}: "
-                                     f"lm {float(metrics['lm']):.4f}")
-        log = {f"train_{k}": v / max(n, 1) for k, v in sums.items()}
+                                     f"lm {_host_scalar(metrics['lm']):.4f}")
+        log = {f"train_{k}": v for k, v in _epoch_means(sums, n).items()}
         for split in ("val", "test"):
             res = self.evaluate(split, epoch_label=str(epoch))
             log.update({f"{split}_{k}": v for k, v in res.items()})

@@ -139,6 +139,8 @@ class TestServeCLI:
         assert stats["reports"] == 3 and stats["reports_per_s"] > 0
         csv_path = stats["prediction_csv"]
         assert os.path.exists(csv_path)
+        # serve keeps its own result dir — never shares with a test run (ADVICE r2)
+        assert os.sep + "serve" + os.sep in csv_path
         import csv as _csv
         rows = list(_csv.reader(open(csv_path)))
         assert rows[0] == ["images_id", "generated_reports", "ground_truth"]

@@ -381,3 +381,27 @@ class TestCacheSchedule:
         with pytest.raises(AssertionError):
             beam_search(step, kv_state(3, 5), 1, bos_id=BOS, eos_id=EOS, pad_id=PAD,
                         vocab_size=V, beam_size=3, max_len=12, cache_schedule=(5, 10))
+
+    def test_greedy_bad_schedule_rejected(self):
+        """greedy_sample applies the same strict-ascent validation as beam_search
+        (ADVICE r2: a (8, 6, 12) schedule silently skipped segments before)."""
+        step = kv_toy_step()
+        for bad in [(8, 6, 12), (6, 6, 12), (6, 10)]:
+            with pytest.raises(AssertionError):
+                greedy_sample(step, kv_state(2, bad[0]), 2, bos_id=BOS, eos_id=EOS,
+                              pad_id=PAD, vocab_size=V, max_len=12,
+                              cache_schedule=bad)
+
+    def test_grow_caches_rejects_non_conforming_state(self):
+        """A multi-phase schedule with a decode state lacking cache_k/cache_v
+        must fail loudly instead of silently clamping writes (ADVICE r2)."""
+        from evoke_tpu.decode.beam import grow_caches
+
+        with pytest.raises(TypeError):
+            grow_caches((jnp.zeros((2, 4, 8)),), 8)       # not a dict
+        with pytest.raises(TypeError):
+            grow_caches({"mem": jnp.zeros((2, 4, 8))}, 8)  # wrong keys
+        # conforming state grows to exactly the target length
+        grown = grow_caches(kv_state(2, 4), 9)
+        assert grown["cache_k"][0].shape[1] == 9
+        assert grown["cache_v"][0].shape[1] == 9

@@ -73,6 +73,68 @@ class TestGreenFull:
         assert "</s>" not in cleaned and "<|assistant|>" not in cleaned
         assert GreenAdapter.compute_green(cleaned) == 1.0
 
+    def test_parse_error_sentences(self):
+        """Per-subcategory sentence lists (green.py:296-347 contract)."""
+        d = GreenAdapter.parse_error_sentences(RESP_A, "Clinically Significant Errors")
+        a_key, b_key, c_key = GreenAdapter.SUB_CATEGORIES[:3]
+        assert d[a_key] == [" pleural effusion", " pneumothorax"]
+        assert d[b_key] == [" cardiomegaly"]
+        assert d[c_key] == [""]  # a 0-count row splits to one empty string,
+        # exactly like the reference; representative_sentences filters blanks
+        clean = GreenAdapter.parse_error_sentences(
+            RESP_CLEAN, "Clinically Significant Errors")
+        assert all(v == [] for v in clean.values())
+
+    def test_representative_sentences_cluster_summary(self):
+        """The k-means largest-cluster summary (utils.py:15-109): with an
+        embedder that places 'effusion'-flavored sentences together, the
+        representative sentence of the big cluster is one of them."""
+        import numpy as np
+
+        def embed(sentences):
+            # deterministic toy embedding: effusion-sentences near (1, 0),
+            # others near (0, 1), with a tiny per-index offset
+            out = []
+            for i, s in enumerate(sentences):
+                base = [1.0, 0.0] if "effusion" in s else [0.0, 1.0]
+                out.append([base[0] + 0.01 * i, base[1] + 0.013 * i])
+            return np.asarray(out)
+
+        resp = """[Clinically Significant Errors]:
+(a) False report of a finding in the candidate: 4. left effusion; right effusion; small effusion; cardiomegaly
+
+[Matched Findings]:
+2. a; b
+"""
+        reps = GreenAdapter.representative_sentences([resp], embed)
+        a_key = GreenAdapter.SUB_CATEGORIES[0]
+        assert reps[a_key] is not None and "effusion" in reps[a_key]
+        # subcategories with no sentences have no representative
+        assert reps[GreenAdapter.SUB_CATEGORIES[2]] is None
+
+    def test_summarize_with_embedder_extends_summary(self):
+        import numpy as np
+
+        embed = lambda ss: np.asarray([[1.0 + 0.01 * i, 0.5] for i in range(len(ss))])
+        s = GreenAdapter.summarize([RESP_A, RESP_CLEAN], embed_fn=embed)
+        assert "representative_sentences" in s
+        assert "[Clinically Significant Errors Analyses]" in s["summary"]
+        a_key = GreenAdapter.SUB_CATEGORIES[0]
+        assert s["representative_sentences"][a_key] is not None
+
+    def test_kmeans_silhouette_pure_numpy(self):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(10, 2)) * 0.05 + [0, 0]
+        b = rng.normal(size=(10, 2)) * 0.05 + [5, 5]
+        data = np.concatenate([a, b])
+        labels, centers = GreenAdapter._kmeans(data, 2)
+        # the two blobs separate perfectly
+        assert len(set(labels[:10])) == 1 and len(set(labels[10:])) == 1
+        assert labels[0] != labels[10]
+        assert GreenAdapter._silhouette(data, labels) > 0.9
+
 
 class TestRadEntityNLI:
     """Algorithm test with injected NER/similarity/NLI components."""
@@ -165,6 +227,51 @@ class TestMeteor15:
         without = Meteor15().score_pair("cardiac size normal".split(),
                                         "heart size normal".split())
         assert with_para > without
+
+    def test_paraphrase_table_gzip(self, tmp_path):
+        """The jar ships paraphrase-en.gz; the loader reads gzip directly."""
+        import gzip
+
+        p = tmp_path / "paraphrase-en.gz"
+        with gzip.open(p, "wt") as f:
+            f.write("heart ||| cardiac\n")
+        m = Meteor15(paraphrase_path=str(p))
+        assert ("paraphrase", 0.6) in m.stages
+        assert m.score_pair(["cardiac"], ["heart"]) > 0.0
+
+    def test_default_paraphrase_path_env(self, tmp_path, monkeypatch):
+        from evoke_tpu.evals.meteor import default_paraphrase_path
+
+        monkeypatch.delenv("EVOKE_METEOR_PARAPHRASE", raising=False)
+        monkeypatch.delenv("EVOKE_METEOR_DATA", raising=False)
+        assert default_paraphrase_path() is None
+        p = tmp_path / "paraphrase-en.txt"
+        p.write_text("heart ||| cardiac\n")
+        monkeypatch.setenv("EVOKE_METEOR_DATA", str(tmp_path))
+        assert default_paraphrase_path() == str(p)
+        direct = tmp_path / "table.txt"
+        direct.write_text("a ||| b\n")
+        monkeypatch.setenv("EVOKE_METEOR_PARAPHRASE", str(direct))
+        assert default_paraphrase_path() == str(direct)
+
+    def test_supplied_data_moves_toward_jar(self, tmp_path):
+        """The exactness mechanism: pairs invisible to exact+stem become
+        (fractional-weight) matches with data supplied, which is exactly the
+        delta between the offline default and the jar's full-stage value."""
+        gts = {"a": ["heart size is normal"], "b": ["lungs are clear"]}
+        res = {"a": ["cardiac size is normal"], "b": ["lungs are clear"]}
+        p = tmp_path / "para.txt"
+        p.write_text("heart ||| cardiac\n")
+        base, _ = Meteor15()(gts, res)
+        with_data, _ = Meteor15(paraphrase_path=str(p))(gts, res)
+        assert with_data > base
+
+    def test_jar_adapter_gated(self, monkeypatch):
+        """MeteorJar raises cleanly without java/jar; _meteor15 falls back."""
+        from evoke_tpu.evals.meteor import MeteorJar
+
+        with pytest.raises(RuntimeError):
+            MeteorJar("/nonexistent/meteor-1.5.jar")
 
     def test_function_word_weighting(self):
         m = Meteor15()

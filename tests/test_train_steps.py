@@ -159,7 +159,10 @@ class TestDPEquivalence:
                              pt_lr=1e-3, ft_lr=1e-3, weight_decay=0.0)
         state = create_train_state(variables, tx)
         single = ev(state, batch)
-        sharded_batch = shard_batch(batch, mesh)
+        # this fixture's 12-row image leaf (8 anchors + 4 aux) is intentionally
+        # not dp-divisible: replicate it explicitly, shard the anchor-leading
+        # leaves — GSPMD still computes the identical global loss
+        sharded_batch = shard_batch(batch, mesh, allow_replicate=True)
         sharded = ev(state, sharded_batch)
         np.testing.assert_allclose(float(sharded["all_loss"]), float(single["all_loss"]),
                                    rtol=2e-5)
