@@ -191,6 +191,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             trainer.train()
         else:
             trainer.test()
+            if cfg.trainer.plot_heatmaps > 0:
+                _plot_heatmaps(cfg, model, tokenizer, loaders, trainer.state)
         return 0
     if task == "retrieve":
         return _retrieve(cfg, model, tokenizer, ann, loaders)
@@ -239,8 +241,39 @@ def _serve(cfg, model, tokenizer, loaders, state) -> int:
         "reports_per_s": round(sum(s["reports"] for s in stats) / wall, 3) if wall else None,
         "prediction_csv": out_path,
     }
+    if cfg.trainer.plot_heatmaps > 0:
+        _plot_heatmaps(cfg, model, tokenizer, loaders, state)
     print(json.dumps(summary))
     return 0
+
+
+def _plot_heatmaps(cfg, model, tokenizer, loaders, state) -> None:
+    """Render per-generated-token cross-attention overlays for the first N test
+    studies (reference Tester.plot, modules/tester.py:94; heatmap math in
+    evals/heatmaps.py)."""
+    from evoke_tpu.evals.heatmaps import render_generation_heatmaps
+    from evoke_tpu.train.steps import make_generate_step
+
+    n = cfg.trainer.plot_heatmaps
+    out_dir = os.path.join(cfg.result_dir, "attentions")
+    written: List[str] = []
+    inc, no = loaders["test"]
+    for loader, with_ind in ((inc, True), (no, False)):
+        if loader is None or n <= 0:
+            continue
+        batch = next(iter(loader))
+        data = {k: v for k, v in batch.items() if not k.startswith("_")}
+        gen = make_generate_step(model, tokenizer, cfg.decode, cfg.data.max_seq_len,
+                                 with_indication=with_ind)
+        seqs = np.asarray(gen(state, data))
+        valid = np.asarray(batch["valid"])[: seqs.shape[0]]
+        take = min(n, int(valid.sum()))
+        written += render_generation_heatmaps(
+            model, state, batch, seqs, tokenizer, out_dir, cfg.model.num_layers,
+            study_ids=list(batch["_image_ids"]), max_studies=take,
+            with_indication=with_ind)
+        n -= take
+    print(f"wrote {len(written)} heatmap PNGs to {out_dir}")
 
 
 def _score(cfg) -> int:

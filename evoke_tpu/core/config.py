@@ -173,6 +173,10 @@ class TrainerConfig:
     log_interval: int = 100
     profile_epoch: int = 0                       # >0: jax.profiler trace of that epoch
     profile_dir: str = ""                        # trace output (default result_dir/profile)
+    # >0: after test/serve, render per-generated-token cross-attention overlay
+    # PNGs for this many studies into {result_dir}/attentions (the reference
+    # Tester.plot surface, modules/tester.py:94)
+    plot_heatmaps: int = 0
 
 
 @dataclass

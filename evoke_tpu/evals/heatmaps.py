@@ -84,3 +84,69 @@ def generation_heatmaps(image: np.ndarray, cross_attn: np.ndarray,
     """cross_attn: [h, Tq, P] for one sample; one blended heatmap per position."""
     att = cross_attn.mean(0) if head == "mean" else cross_attn[int(head)]
     return [token_heatmap(image, att[t]) for t in token_positions]
+
+
+def save_png(image01: np.ndarray, path: str) -> None:
+    """Write an [H, W, 3] float image in [0, 1] as a PNG (PIL, no cv2)."""
+    from PIL import Image
+
+    Image.fromarray((np.clip(image01, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+def render_generation_heatmaps(model, state, batch: Dict, seqs: np.ndarray,
+                               tokenizer, out_dir: str, num_layers: int,
+                               study_ids: List[str] = None,
+                               max_studies: int = 4,
+                               with_indication: bool = False) -> List[str]:
+    """The reference Tester.plot surface (tester.py:94-120): per decoder layer,
+    per generated token, a JET cross-attention overlay PNG saved to
+    ``{out_dir}/{study_id}/layer_{l}/{word_idx:04d}_{word}.png``.
+
+    TPU-first difference: instead of capturing attention inside the per-token
+    sampling loop, ONE teacher-forced decoder forward over the generated
+    sequence recomputes all cross-attention maps batched (exact — the decoder
+    is causal, so query t's attention is identical to the sampling step's).
+    Returns the list of written files.
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    from evoke_tpu.train.steps import maybe_normalize_images
+
+    seqs = np.asarray(seqs)
+    n = min(max_studies, seqs.shape[0])
+    b = maybe_normalize_images({k: v for k, v in batch.items()
+                                if not k.startswith("_")})
+    # teacher-forced ids: [BOS, w0, w1, ...] — query position i predicts (and
+    # therefore attends for) generated word i
+    bos = np.full((seqs.shape[0], 1), tokenizer.bos_id, seqs.dtype)
+    dec_ids = np.concatenate([bos, seqs[:, :-1]], axis=1)
+    dec_mask = (np.concatenate([bos * 0 + 1, (seqs[:, :-1] != tokenizer.pad_id)],
+                               axis=1)).astype(np.int32)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    args = [b["images"], jnp.asarray(dec_ids), jnp.asarray(dec_mask),
+            b["pids"], b["valid"]]
+    if with_indication:
+        args += [b["inc_ids"], b["inc_mask"]]
+    _, inter = model.apply(variables, *args, train=False,
+                           mutable=["intermediates"])
+    dec_inter = inter["intermediates"]["text_decoder"]
+    images = np.asarray(b["images"], np.float32)
+    written: List[str] = []
+    for layer_idx in range(num_layers):
+        attn = extract_cross_attention(dec_inter, layer=f"dec_{layer_idx}")
+        att = attn.mean(1)  # [B, Tq, P] head-mean, like the reference's .mean(0)
+        for i in range(n):
+            sid = str(study_ids[i]) if study_ids is not None else f"{i:04d}"
+            d = os.path.join(out_dir, sid.replace(os.sep, "_"), f"layer_{layer_idx}")
+            os.makedirs(d, exist_ok=True)
+            for word_idx in range(seqs.shape[1]):
+                tok_id = int(seqs[i, word_idx])
+                if tok_id == tokenizer.pad_id or tok_id == tokenizer.eos_id:
+                    break
+                word = tokenizer.decode_batch([[tok_id]])[0].strip() or str(tok_id)
+                path = os.path.join(d, f"{word_idx:04d}_{word[:40]}.png")
+                save_png(token_heatmap(images[i], att[i, word_idx]), path)
+                written.append(path)
+    return written

@@ -144,7 +144,7 @@ class CausalDecoder(nn.Module):
             "cross_v": tuple(c[1] for c in cross),
         }
 
-    def decode_step(self, tok, pos, state, att_mask):
+    def decode_step(self, tok, pos, state, att_mask, return_logits=False):
         pos_vec = self.pos_embed(jnp.asarray(pos, jnp.int32))
         x = self.tok_embed(tok)[:, None, :] + pos_vec[None, None, :]
         cross_mask = make_cross_mask(att_mask)
@@ -156,7 +156,9 @@ class CausalDecoder(nn.Module):
             new_k.append(ck)
             new_v.append(cv)
         x = self.final_ln(x)
-        logp = jax.nn.log_softmax(self.logit(x)[:, 0, :].astype(jnp.float32), axis=-1)
+        logits = self.logit(x)[:, 0, :]
+        logp = (logits if return_logits
+                else jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1))
         return logp, {"cache_k": tuple(new_k), "cache_v": tuple(new_v),
                       "cross_k": state["cross_k"], "cross_v": state["cross_v"]}
 
@@ -261,7 +263,7 @@ class BertGenerationDecoder(nn.Module):
             "cross_v": tuple(c[1] for c in cross),
         }
 
-    def decode_step(self, tok, pos, state, att_mask):
+    def decode_step(self, tok, pos, state, att_mask, return_logits=False):
         x = self.embeddings.at_position(tok, pos)
         cross_mask = make_cross_mask(att_mask)
         new_k, new_v = [], []
@@ -271,6 +273,8 @@ class BertGenerationDecoder(nn.Module):
                                    pos)
             new_k.append(ck)
             new_v.append(cv)
-        logp = jax.nn.log_softmax(self.lm_head(x)[:, 0, :].astype(jnp.float32), axis=-1)
+        logits = self.lm_head(x)[:, 0, :]
+        logp = (logits if return_logits
+                else jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1))
         return logp, {"cache_k": tuple(new_k), "cache_v": tuple(new_v),
                       "cross_k": state["cross_k"], "cross_v": state["cross_v"]}

@@ -208,7 +208,7 @@ class CMNDecoder(nn.Module):
             "cross_v": tuple(c[1] for c in cross),
         }
 
-    def decode_step(self, tok, pos, state, att_mask):
+    def decode_step(self, tok, pos, state, att_mask, return_logits=False):
         x = self.tgt_embed.at_position(tok, pos)
         x = self._embed_with_memory(x)
         cross_mask = make_cross_mask(att_mask)
@@ -220,6 +220,8 @@ class CMNDecoder(nn.Module):
             new_k.append(ck)
             new_v.append(cv)
         x = self.dec_norm(x)
-        logp = jax.nn.log_softmax(self.logit(x)[:, 0, :].astype(jnp.float32), axis=-1)
+        logits = self.logit(x)[:, 0, :]
+        logp = (logits if return_logits
+                else jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1))
         return logp, {"cache_k": tuple(new_k), "cache_v": tuple(new_v),
                       "cross_k": state["cross_k"], "cross_v": state["cross_v"]}

@@ -186,5 +186,6 @@ class FinetuneModel(nn.Module):
     def init_decode_state(self, enc, batch: int, max_len: Optional[int] = None):
         return self.text_decoder.init_decode_state(enc, batch, max_len)
 
-    def decode_step(self, tok, pos, state, att_mask):
-        return self.text_decoder.decode_step(tok, pos, state, att_mask)
+    def decode_step(self, tok, pos, state, att_mask, return_logits=False):
+        return self.text_decoder.decode_step(tok, pos, state, att_mask,
+                                             return_logits=return_logits)

@@ -278,10 +278,12 @@ class RMDecoder(nn.Module):
             "cross_v": tuple(c[1] for c in cross),
         }
 
-    def decode_step(self, tok, pos, state, att_mask):
+    def decode_step(self, tok, pos, state, att_mask, return_logits=False):
         """tok: [B] token ids, pos: scalar int, state: from init_decode_state.
 
-        Returns (log-probs [B, V+1], new state).
+        Returns (log-probs [B, V+1], new state); with ``return_logits=True``
+        the first element is the UNNORMALIZED logits (the beam's two-stage
+        top-k normalizes only the k*k winning candidates — decode/beam.py).
         """
         x = self.tgt_embed.at_position(tok, pos)               # [B, 1, D]
         mem = self.rm.step(x[:, 0, :], state["memory"])        # [B, S*D]
@@ -294,7 +296,8 @@ class RMDecoder(nn.Module):
             new_v.append(cv)
         x = self.dec_norm(x)
         logits = self.logit(x)[:, 0, :]
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logp = (logits if return_logits
+                else jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1))
         new_state = {
             "memory": mem,
             "cache_k": tuple(new_k),

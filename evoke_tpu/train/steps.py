@@ -163,15 +163,17 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
             state0 = model.apply(variables, enc_b, b * beam, schedule[0],
                                  method=model.init_decode_state)
 
+            # raw-logits two-stage top-k (exact; see beam_search docstring):
+            # skips the [N, V] f32 log_softmax in the loop — a large-vocab win
             def step(tok, pos, dstate):
                 return model.apply(variables, tok, pos, dstate, mask_b,
-                                   method=model.decode_step)
+                                   return_logits=True, method=model.decode_step)
 
             res = beam_search(step, state0, b, beam_size=beam,
                               length_penalty=decode_cfg.length_penalty,
                               suppress_ids=suppress,
                               decoding_constraint=bool(decode_cfg.decoding_constraint),
-                              cache_schedule=schedule,
+                              cache_schedule=schedule, raw_logits=True,
                               **common)
             return res.seqs[:, 0, :]
         state0 = model.apply(variables, enc, b, schedule[0], method=model.init_decode_state)

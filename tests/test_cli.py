@@ -116,12 +116,21 @@ class TestFullPipelineCLI:
         s2_ckpt = os.path.join(s2_dir, "checkpoint", "current")
         assert cli_main(["test", "--data.ann_path", aug,
                          "--trainer.version", "s2t",
+                         "--trainer.plot_heatmaps", "1",
                          "--trainer.load", s2_ckpt] + common) == 0
         t_dir = os.path.join(root, "results", "mimic_cxr", "test", "s2t")
         assert os.path.exists(os.path.join(t_dir, "test_prediction.csv"))
         import pandas as pd
         df = pd.read_csv(os.path.join(t_dir, "test_prediction.csv"), dtype=str)
         assert df.iloc[0]["images_id"].startswith("__metric__")
+        # --trainer.plot_heatmaps renders per-token cross-attention PNGs
+        # (reference Tester.plot surface)
+        import glob
+        pngs = glob.glob(os.path.join(t_dir, "attentions", "*", "layer_0", "*.png"))
+        assert pngs, f"no heatmap PNGs under {t_dir}/attentions"
+        from PIL import Image
+        im = Image.open(pngs[0])
+        assert im.size == (32, 32)
 
 
 @pytest.mark.slow

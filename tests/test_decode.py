@@ -392,6 +392,45 @@ class TestCacheSchedule:
                               pad_id=PAD, vocab_size=V, max_len=12,
                               cache_schedule=bad)
 
+    def test_raw_logits_two_stage_topk_matches_logp_path(self):
+        """raw_logits=True (per-beam top-k on unnormalized logits + exact f32
+        scoring of the k*k winners) must be output-identical to the log-prob
+        path — tokens AND length-penalized scores."""
+        rng = np.random.default_rng(3)
+        d = 8
+        emb = jnp.asarray(rng.normal(size=(V, d)).astype(np.float32))
+        proj = jnp.asarray(rng.normal(size=(d, V)).astype(np.float32))
+
+        def mk_step(raw):
+            def step(tok, pos, state):
+                x = emb[tok]
+                ck = jax.lax.dynamic_update_slice(state["cache_k"][0],
+                                                  x[:, None, :], (0, pos, 0))
+                cv = jax.lax.dynamic_update_slice(state["cache_v"][0],
+                                                  x[:, None, :] * 0.5, (0, pos, 0))
+                l = ck.shape[1]
+                mask = (jnp.arange(l) <= pos)[None, :]
+                scores = jnp.einsum("nd,nld->nl", x, ck) / np.sqrt(d)
+                attn = jax.nn.softmax(jnp.where(mask, scores, -1e9), axis=-1)
+                logits = jnp.einsum("nl,nld->nd", attn, cv) @ proj
+                out = logits if raw else jax.nn.log_softmax(logits, axis=-1)
+                return out, {"cache_k": (ck,), "cache_v": (cv,)}
+            return step
+
+        batch, k, L = 3, 3, 12
+        kw = dict(bos_id=BOS, eos_id=EOS, pad_id=PAD, vocab_size=V, beam_size=k,
+                  max_len=L, suppress_ids=(4,), length_penalty="wu_0.5")
+        base = beam_search(mk_step(False), kv_state(batch * k, L), batch, **kw)
+        two = beam_search(mk_step(True), kv_state(batch * k, L), batch,
+                          raw_logits=True, **kw)
+        np.testing.assert_array_equal(np.asarray(base.seqs), np.asarray(two.seqs))
+        np.testing.assert_allclose(np.asarray(base.scores), np.asarray(two.scores),
+                                   rtol=1e-5)
+        # and through a phased cache schedule
+        two_ph = beam_search(mk_step(True), kv_state(batch * k, 6), batch,
+                             raw_logits=True, cache_schedule=(6, 12), **kw)
+        np.testing.assert_array_equal(np.asarray(base.seqs), np.asarray(two_ph.seqs))
+
     def test_grow_caches_rejects_non_conforming_state(self):
         """A multi-phase schedule with a decode state lacking cache_k/cache_v
         must fail loudly instead of silently clamping writes (ADVICE r2)."""

@@ -47,6 +47,48 @@ class TestHeatmaps:
         maps = generation_heatmaps(img, attn, [0, 2, 4])
         assert len(maps) == 3 and maps[0].shape == (16, 16, 3)
 
+    def test_render_generation_heatmaps_end_to_end(self, rng, tmp_path):
+        """The runnable surface behind --trainer.plot_heatmaps: teacher-forced
+        forward with sown attention -> one PNG per (layer, generated token),
+        in the reference's attentions/{study}/layer_{l}/ layout."""
+        from evoke_tpu.data.synthetic import corpus_for_tokenizer, synthetic_batch
+        from evoke_tpu.data.tokenizer import WordTokenizer
+        from evoke_tpu.evals.heatmaps import render_generation_heatmaps
+        from evoke_tpu.models.finetune import FinetuneModel
+        from evoke_tpu.train.steps import TrainState
+
+        tok = WordTokenizer.train(corpus_for_tokenizer())
+        batch = synthetic_batch(np.random.default_rng(0), tok, batch=2,
+                                image_size=32, max_seq_len=8, n_aux=2)
+        model = FinetuneModel(
+            vocab_size=tok.get_vocab_size(), output_dim=32, encoder_hidden_size=32,
+            encoder_num_layers=1, encoder_num_heads=2, encoder_intermediate_size=64,
+            d_model=16, d_ff=32, num_heads=2, num_layers=2, rm_num_slots=2,
+            rm_d_model=16, fusion_num_heads=2, fusion_intermediate_size=64,
+            sk_fusion_num_layers=1, max_seq_len=8, drop_prob_lm=0.0)
+        variables = jax.jit(model.init)(KEY, batch["images"], batch["ids"],
+                                        batch["mask"], batch["pids"], batch["valid"])
+        state = TrainState(step=0, params=variables["params"],
+                           batch_stats=variables["batch_stats"], opt_state=None)
+        # 3 words then EOS for study 0; 2 words then EOS for study 1
+        word = batch["ids"][0, 1]
+        seqs = np.full((2, 8), tok.pad_id, np.int32)
+        seqs[0, :3] = word
+        seqs[0, 3] = tok.eos_id
+        seqs[1, :2] = word
+        seqs[1, 2] = tok.eos_id
+        out = str(tmp_path / "attentions")
+        written = render_generation_heatmaps(model, state, batch, seqs, tok, out,
+                                             num_layers=2,
+                                             study_ids=["s0", "s1"], max_studies=2)
+        # (3 + 2) words x 2 layers
+        assert len(written) == 10
+        import os
+        assert all(os.path.exists(p) for p in written)
+        assert any(f"layer_1" in p for p in written)
+        from PIL import Image
+        assert Image.open(written[0]).size == (32, 32)
+
 
 class TestWarmupCosine:
     def test_shape_of_schedule(self):
