@@ -79,11 +79,23 @@ def analytic_decode_model(variables, model, image_size, n_images, n_anchor, beam
       length L_t (the phased schedule), N = batch x beam rows, d = d_model,
       Ld = decoder layers:
         FLOPs = 2*N*step_params + 4*N*L_t*d (self-attn dots) + 4*N*P*d (cross)
-        bytes = 4*step_params (f32 weights, batch-shared)
+        bytes = 4*step_params_f32 + 2*step_params_bf16
+                                     (batch-shared weight reads; XLA hoists the
+                                      promote_dtype f32->bf16 cast of the
+                                      loop-invariant dtype-consumed weights out
+                                      of the while-loop — verified empirically:
+                                      a storage-only bf16 cast of those weights
+                                      changed throughput by 0.0%, DESIGN 5c —
+                                      so the loop reads them at 2 bytes; only
+                                      f32-MATH weights (CLN MLPs, RM) are read
+                                      at 4)
               + 3 * [4*Ld*N*L_t*d]   (bf16 K+V: attention read 1x, beam
                                       reorder gather read+write 2x)
               + 4*Ld*N*P*d           (bf16 cross K/V read)
-              + 3*N*vocab*4          (f32 logits write + top-k/gather reads)
+              + 3*N*vocab*2          (bf16 logits write + logsumexp read +
+                                      per-beam top-k read; the raw-logits
+                                      two-stage beam never materializes f32
+                                      log-probs — decode/beam.py)
       where step_params = decoder params minus the token embedding (a gather)
       and minus the patch-encoder stack (runs once, not per step).
 
@@ -103,8 +115,15 @@ def analytic_decode_model(variables, model, image_size, n_images, n_anchor, beam
 
     groups = {"resnet": 0, "text_encoder": 0, "fusion_qo": 0, "fusion_kv": 0,
               "heads": 0, "coattn": 0, "dec_encoder": 0, "dec_embed": 0,
-              "dec_step": 0, "other": 0}
+              "dec_step": 0, "dec_step_bf16": 0, "other": 0}
+    # per-step weights XLA reads at 2 bytes: consumed through a hoisted
+    # promote_dtype cast (nn.Dense/MHA/FFN built WITH dtype=bfloat16); the
+    # f32-MATH weights (RM, ConditionalLayerNorm MLPs, LNs) stay 4-byte reads
+    bf16_consumed = ("/wq/", "/wk/", "/wv/", "/wo/", "/ff/", "/logit/")
     import jax
+    import jax.numpy as jnp
+
+    model_bf16 = getattr(model, "dtype", None) == jnp.bfloat16
 
     for path, leaf in jax.tree_util.tree_flatten_with_path(p)[0]:
         keys = [str(getattr(k, "key", k)) for k in path]
@@ -127,6 +146,9 @@ def analytic_decode_model(variables, model, image_size, n_images, n_anchor, beam
                 groups["dec_embed"] += size
             elif "/enc_" in joined or joined.endswith("att_embed/kernel"):
                 groups["dec_encoder"] += size
+            elif model_bf16 and "/rm/" not in "/" + joined + "/" and any(
+                    m in "/" + joined + "/" for m in bf16_consumed):
+                groups["dec_step_bf16"] += size
             else:
                 groups["dec_step"] += size
         else:
@@ -154,14 +176,14 @@ def analytic_decode_model(variables, model, image_size, n_images, n_anchor, beam
         lo = seg_end
     l_sum = sum(l_alloc[:steps])
 
-    step_params = groups["dec_step"]
+    step_params = groups["dec_step"] + groups["dec_step_bf16"]
     flops_loop = (2 * N * step_params * steps
                   + 4 * N * d * l_sum
                   + 4 * N * P * d * steps)
-    bytes_loop = (4 * step_params * steps
+    bytes_loop = ((4 * groups["dec_step"] + 2 * groups["dec_step_bf16"]) * steps
                   + 3 * (4 * layers * N * d) * l_sum
                   + (4 * layers * N * P * d) * steps
-                  + 3 * N * vocab * 4 * steps)
+                  + 3 * N * vocab * 2 * steps)
     return {"flops_enc": flops_enc, "flops_loop": flops_loop,
             "bytes_loop": bytes_loop, "steps": steps, "groups": groups}
 
@@ -302,23 +324,34 @@ def bench_decode(image_size, batch_sizes, iters, deadline=None):
 
 
 def _encoder_time(model, variables, state, batch, n_anchor, iters) -> float:
-    """p50 of the jitted encoder half (encode_for_decode) — splits the decode
-    call into encoder vs loop without a profiler."""
+    """Steady-state device time of the encoder half (encode_for_decode) —
+    splits the decode call into encoder vs loop without a profiler. Measured
+    PIPELINED (N submissions, one sync) like the decode steady-state: a
+    per-call median would include the remote runtime's ~20 ms dispatch
+    overhead and over-attribute time to the encoder (seen: 51 ms per-call vs
+    24 ms in the device trace)."""
     import jax
 
     from evoke_tpu.train.steps import maybe_normalize_images
 
     @jax.jit
-    def enc_only(batch):
+    def enc_only(state, batch):
+        # state MUST be an argument: closing over it would embed 300M params
+        # as compile-time constants and blow up XLA constant folding
         b = maybe_normalize_images(batch)
         return model.apply({"params": state.params, "batch_stats": state.batch_stats},
                            b["images"], b["pids"], b["valid"], n_anchor,
                            b["inc_ids"], b["inc_mask"],
                            method=model.encode_for_decode)
 
-    out = enc_only(batch)  # compile
+    out = enc_only(state, batch)  # compile + warm
     jax.block_until_ready(out)
-    return _p50(lambda: jax.block_until_ready(enc_only(batch)), max(iters - 1, 2))
+    n_calls = max(4 * iters, 8)
+    t0 = time.perf_counter()
+    outs = [enc_only(state, batch) for _ in range(n_calls)]
+    for o in outs:
+        jax.block_until_ready(o)
+    return (time.perf_counter() - t0) / n_calls
 
 
 def bench_train(image_size, batch, iters):
@@ -446,8 +479,9 @@ def main():
                 return VOCAB
 
         b = int(os.environ.get("BENCH_ANCHORS", 32))
+        size = int(os.environ.get("BENCH_IMAGE_SIZE", 224))
         model = _flagship(vocab_size=VOCAB)
-        batch = _example_batch(np.random.default_rng(0), b, b, 224, GEN_LEN, VOCAB)
+        batch = _example_batch(np.random.default_rng(0), b, b, size, GEN_LEN, VOCAB)
         variables = jax.jit(model.init)(
             jax.random.key(0), batch["images"], batch["ids"], batch["mask"],
             batch["pids"], batch["valid"], batch["inc_ids"], batch["inc_mask"])
