@@ -65,6 +65,15 @@ class ModelConfig:
     # multiview cross-attention per-head dim == d_model (reference
     # utils_v0511.py:210-281 dimensioning; False = standard d_model/h)
     fusion_wide_qkv: bool = True
+    # static bound on same-study partner rows per anchor for the multiview
+    # fusion attention: null = dense masked attention over the whole batch
+    # (exact for any partner multiplicity); an int G runs grouped
+    # partner-gather attention over (1+G)*T keys — identical output whenever
+    # every anchor has <= G partners (models/fusion.py; check your data with
+    # fusion.max_partners_in). MIMIC-CXR studies have <= 3 aux views after
+    # dedup in practice; measured at 384 this is the difference between the
+    # encoder attending 9280 vs 580 keys per anchor.
+    fusion_max_partners: Optional[int] = None
 
     # multiview learning / indication fusion switches
     is_multiview_learning: bool = True

@@ -40,6 +40,11 @@ class FinetuneModel(nn.Module):
     sk_fusion_num_layers: int = 1
     proj_num_heads: int = 8
     fusion_wide_qkv: bool = True   # reference dimensioning (utils_v0511.py:210-281)
+    # static bound on same-study partner rows per anchor: None = dense masked
+    # fusion attention over the whole batch (exact for any multiplicity);
+    # int G = grouped partner-gather attention over (1+G)*T keys (identical
+    # output when every anchor has <= G partners; B/(1+G)x less MXU work)
+    fusion_max_partners: Any = None
     d_model: int = 512
     d_ff: int = 512
     num_heads: int = 8
@@ -73,7 +78,9 @@ class FinetuneModel(nn.Module):
         self.text_head = ProjectionHead(self.output_dim, self.output_dim,
                                         final_bn=True, dtype=self.dtype)
         self.fusion = MultiviewFusion(self.d_vf, self.proj_num_heads,
-                                      wide_qkv=self.fusion_wide_qkv, dtype=self.dtype)
+                                      wide_qkv=self.fusion_wide_qkv,
+                                      max_partners=self.fusion_max_partners,
+                                      dtype=self.dtype)
         # names match the reference's two-group optimizer split (optimizers.py:30)
         self.multimodal_fusion_layers = [
             BertCrossLayer(self.output_dim, self.fusion_num_heads,

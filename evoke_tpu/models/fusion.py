@@ -53,14 +53,45 @@ def same_study_matrix(q_pids: jnp.ndarray, k_pids: jnp.ndarray, q_valid: jnp.nda
     return eq & v & ~self_slot
 
 
+def max_partners_in(pids: "np.ndarray", valid: "np.ndarray", n_anchor: int) -> int:
+    """Host-side: the largest number of same-study partner rows any anchor has
+    in this batch layout. Loaders/serving use it to check that a configured
+    ``max_partners`` bound is exact for their data (grouped fusion attention
+    truncates partners beyond the bound, keeping the lowest row indices)."""
+    import numpy as np
+
+    pids = np.asarray(pids)
+    valid = np.asarray(valid)
+    best = 0
+    for i in range(n_anchor):
+        if not valid[i]:
+            continue
+        same = (pids == pids[i]) & valid
+        same[i] = False
+        best = max(best, int(same.sum()))
+    return best
+
+
 class BatchedCrossViewAttention(nn.Module):
-    """MHA where anchor i's tokens attend over all tokens of its same-study partners."""
+    """MHA where anchor i's tokens attend over all tokens of its same-study partners.
+
+    ``max_partners=None`` runs the dense masked form: every anchor's queries
+    attend over ALL B*T batch tokens under the same-study mask — exact for any
+    partner multiplicity, but the MXU work scales with the whole batch
+    (measured 34 ms of the 87 ms encoder at 384, batch 32+32, where each
+    anchor's real partners are ~1 row of 64). With ``max_partners=G`` the
+    partner ROWS are gathered per anchor (lowest row index first, plus a
+    self-row slot for partnerless anchors) and attention runs over (1+G)*T
+    keys — mathematically identical to the dense form whenever every anchor
+    has <= G partners (softmax over the same attended set), and the compute
+    drops by B/(1+G)."""
 
     d_model: int
     num_heads: int = 8
     dropout_rate: float = 0.1
     wide_qkv: bool = True
     use_pallas: bool = False   # fused flash-style kernel (ops/fusion_attention.py)
+    max_partners: Any = None   # static int bound on partner rows per anchor
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -97,16 +128,39 @@ class BatchedCrossViewAttention(nn.Module):
         v = self.fc_v(kv)
 
         q = q.reshape(qn, t, h, dk).transpose(0, 2, 1, 3)              # [Q, h, T, dk]
+        has_partner = study_mask.any(-1)                               # [Q]
+        use_dropout = not deterministic and self.dropout_rate > 0.0
+
+        if self.max_partners is not None and not (self.use_pallas and not use_dropout):
+            # grouped: gather each anchor's G partner rows (+ its own row as a
+            # NaN-safe slot for partnerless anchors) and attend over (1+G)*T
+            # keys instead of B*T
+            G = min(int(self.max_partners), b)
+            cols = jnp.arange(b)[None, :]
+            order = jnp.sort(jnp.where(study_mask, cols, b + cols), axis=1)[:, :G]
+            pidx = order % b                                           # [Q, G] row ids
+            pvalid = order < b
+            slot_idx = jnp.concatenate([jnp.arange(qn)[:, None], pidx], axis=1)
+            slot_valid = jnp.concatenate([~has_partner[:, None], pvalid], axis=1)
+            kg = k.reshape(b, t, h, dk)[slot_idx]                      # [Q, 1+G, T, h, dk]
+            vg = v.reshape(b, t, h, dk)[slot_idx]
+            kg = kg.reshape(qn, (1 + G) * t, h, dk).transpose(0, 2, 1, 3)
+            vg = vg.reshape(qn, (1 + G) * t, h, dk).transpose(0, 2, 1, 3)
+            mask4 = jnp.repeat(slot_valid, t, axis=1)[:, None, None, :]
+            dropout_fn = None if not use_dropout else (
+                lambda p: self.attn_drop(p, deterministic=False))
+            out, _ = dot_attention(q, kg, vg, mask=mask4, dropout_fn=dropout_fn)
+            out = out.transpose(0, 2, 1, 3).reshape(qn, t, h * dk)
+            return self.fc_o(out)
+
         k = k.reshape(b * t, h, dk).transpose(1, 0, 2)                 # [h, B*T, dk]
         v = v.reshape(b * t, h, dk).transpose(1, 0, 2)                 # [h, B*T, dk]
 
         # anchors with no partner attend to their own tokens (a dummy, NaN-safe
         # path); their output is discarded by the caller's `where`.
-        has_partner = study_mask.any(-1)                               # [Q]
         self_mask = (jnp.arange(qn)[:, None] == jnp.arange(b)[None, :]) & ~has_partner[:, None]
         attend = study_mask | self_mask                                # [Q, B]
 
-        use_dropout = not deterministic and self.dropout_rate > 0.0
         if self.use_pallas and not use_dropout:
             from evoke_tpu.ops.fusion_attention import masked_cross_view_attention
             out = masked_cross_view_attention(q, k, v, attend, t_tokens=t)
@@ -129,6 +183,7 @@ class MultiviewFusion(nn.Module):
     num_heads: int = 8
     dropout_rate: float = 0.1
     wide_qkv: bool = True
+    max_partners: Any = None   # see BatchedCrossViewAttention
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -136,6 +191,7 @@ class MultiviewFusion(nn.Module):
         self.layer_norm_2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.cross = BatchedCrossViewAttention(self.d_model, self.num_heads,
                                                self.dropout_rate, self.wide_qkv,
+                                               max_partners=self.max_partners,
                                                dtype=self.dtype)
 
     def __call__(self, image_embed, pid_codes, valid, n_anchor: int, deterministic=True

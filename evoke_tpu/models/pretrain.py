@@ -36,6 +36,11 @@ class PretrainModel(nn.Module):
     encoder_intermediate_size: int = 3072
     proj_num_heads: int = 8
     fusion_wide_qkv: bool = True   # reference dimensioning (utils_v0511.py:210-281)
+    # static bound on same-study partner rows per anchor: None = dense masked
+    # fusion attention over the whole batch (exact for any multiplicity);
+    # int G = grouped partner-gather attention over (1+G)*T keys (identical
+    # output when every anchor has <= G partners; B/(1+G)x less MXU work)
+    fusion_max_partners: Any = None
     instance_temp: float = 0.5
     region_temp: float = 0.5
     is_multiview_learning: bool = True
@@ -57,7 +62,9 @@ class PretrainModel(nn.Module):
         self.text_head = ProjectionHead(self.output_dim, self.output_dim,
                                         final_bn=False, dtype=self.dtype)
         self.fusion = MultiviewFusion(self.d_vf, self.proj_num_heads,
-                                      wide_qkv=self.fusion_wide_qkv, dtype=self.dtype)
+                                      wide_qkv=self.fusion_wide_qkv,
+                                      max_partners=self.fusion_max_partners,
+                                      dtype=self.dtype)
 
     def encode_images(self, images, pid_codes, valid, n_anchor: int, train=False):
         """images: [B, H, W, 3] (anchors first) ->

@@ -66,6 +66,9 @@ class ReportServer:
         self.state = state
         self.depth = depth
         self.mesh = mesh
+        # grouped fusion attention truncates partners beyond its static bound;
+        # serve() checks every batch host-side and fails loudly instead
+        self._max_partners = getattr(model, "fusion_max_partners", None)
         self._gen = {
             True: make_generate_step(model, tokenizer, decode_cfg, max_seq_len,
                                      with_indication=True, serving=True),
@@ -90,6 +93,18 @@ class ReportServer:
             for b in batches:
                 b = dict(b)
                 b["_valid"] = np.asarray(b["valid"])
+                if self._max_partners is not None:
+                    from evoke_tpu.models.fusion import max_partners_in
+
+                    n_anchor = b["ids"].shape[0]
+                    got = max_partners_in(b["pids"], b["valid"], n_anchor)
+                    if got > self._max_partners:
+                        raise ValueError(
+                            f"batch has an anchor with {got} same-study partner "
+                            f"views, above model.fusion_max_partners="
+                            f"{self._max_partners}: grouped fusion attention "
+                            "would silently drop views. Raise the bound (or set "
+                            "it to null for dense attention).")
                 yield b
 
         batches = device_prefetch(with_host_valid(Prefetcher(loader, prefetch)),

@@ -239,3 +239,47 @@ class TestRMDecoder:
             # distributions loosely but meaningfully
             np.testing.assert_allclose(np.asarray(logp), np.asarray(full[:, step_t]),
                                        rtol=0.05, atol=0.05)
+
+
+class TestGroupedFusionAttention:
+    """max_partners=G grouped partner-gather fusion == dense masked fusion
+    whenever every anchor has <= G partners (same attended key set)."""
+
+    def _case(self, rng, b, t, d, n_anchor, pids, valid):
+        x = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
+        pids = jnp.asarray(pids, jnp.int32)
+        valid = jnp.asarray(valid, bool)
+        dense = MultiviewFusion(d_model=d, num_heads=4)
+        variables = dense.init(KEY, x, pids, valid, n_anchor)
+        want, has_w = dense.apply(variables, x, pids, valid, n_anchor)
+        return x, pids, valid, variables, np.asarray(want), np.asarray(has_w)
+
+    def test_matches_dense_mixed_multiplicity(self, rng):
+        # studies with 2, 0, 1, 0 partners; one invalid padding slot
+        b, t, d, n_anchor = 8, 3, 16, 4
+        pids = [0, 1, 2, 3, 0, 0, 2, 3]
+        valid = [True] * 7 + [False]  # last slot: study-3 aux but padding
+        x, p, v, variables, want, has_w = self._case(rng, b, t, d, n_anchor, pids, valid)
+        for g in (2, 3, 5):
+            grouped = MultiviewFusion(d_model=d, num_heads=4, max_partners=g)
+            got, has_g = grouped.apply(variables, x, p, v, n_anchor)
+            np.testing.assert_array_equal(has_w, np.asarray(has_g))
+            np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5), g
+
+    def test_bound_larger_than_batch_clamps(self, rng):
+        b, t, d, n_anchor = 4, 2, 8, 2
+        pids = [0, 1, 0, 1]
+        valid = [True] * 4
+        x, p, v, variables, want, _ = self._case(rng, b, t, d, n_anchor, pids, valid)
+        grouped = MultiviewFusion(d_model=d, num_heads=4, max_partners=64)
+        got, _ = grouped.apply(variables, x, p, v, n_anchor)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+    def test_max_partners_in_helper(self):
+        from evoke_tpu.models.fusion import max_partners_in
+
+        pids = np.asarray([0, 1, 2, 0, 0, 2, -1])
+        valid = np.asarray([True, True, True, True, True, True, False])
+        assert max_partners_in(pids, valid, 3) == 2   # anchor 0 has two aux
+        assert max_partners_in(pids, valid, 2) == 2
+        assert max_partners_in(np.asarray([0, 1]), np.asarray([True, True]), 2) == 0
