@@ -182,7 +182,7 @@ def analytic_decode_model(variables, model, image_size, n_images, n_anchor, beam
                   + 4 * N * P * d * steps)
     bytes_loop = ((4 * groups["dec_step"] + 2 * groups["dec_step_bf16"]) * steps
                   + 3 * (4 * layers * N * d) * l_sum
-                  + (4 * layers * N * P * d) * steps
+                  + (4 * layers * n_anchor * P * d) * steps
                   + 3 * N * vocab * 2 * steps)
     return {"flops_enc": flops_enc, "flops_loop": flops_loop,
             "bytes_loop": bytes_loop, "steps": steps, "groups": groups}

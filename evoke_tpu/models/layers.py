@@ -53,12 +53,14 @@ def dot_attention(q, k, v, mask=None, dropout_fn: Optional[Callable] = None):
     mask: broadcastable to [B, h, Tq, Tk]; True/1 = attend.
     """
     dk = q.shape[-1]
-    if q.shape[2] == 1 and q.dtype == jnp.bfloat16:
-        # Single-token decode step: XLA normalizes the degenerate Tq=1 dot to a
-        # VPU multiply-reduce, and preferred_element_type=f32 then forces the
+    if q.shape[2] <= 4 and q.dtype == jnp.bfloat16:
+        # Small-Tq decode steps (Tq=1 single-token, or Tq=beam in the
+        # shared-KV cross path): preferred_element_type=f32 would force the
         # ENTIRE K cache to be upcast+re-laid-out to f32 every step (measured:
         # 3 x 39 MB copies per step at batch 192). Contracting dk<=128 terms in
-        # bf16 and casting the [B,h,1,Tk] scores afterwards avoids that traffic.
+        # bf16 and casting the [B,h,Tq,Tk] scores afterwards avoids that
+        # traffic; both lowerings accumulate in f32 then round to bf16, so the
+        # Tq=1 and Tq=beam forms produce identical score values.
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
     else:
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -105,7 +107,28 @@ class MultiHeadAttention(nn.Module):
         return self.wk(x), self.wv(x)
 
     def attend(self, q_in, k_proj, v_proj, mask=None, deterministic=True):
-        """Attention with already-projected k/v ([B, Tk, D])."""
+        """Attention with already-projected k/v ([B, Tk, D]).
+
+        When ``q_in`` has g-times more rows than ``k_proj`` (beam-expanded
+        queries over beam-INVARIANT cross K/V — rows ordered
+        [s0b0, s0b1, ..., s1b0, ...] as produced by jnp.repeat), the g query
+        rows of each sample attend the sample's single K/V row directly:
+        exactly equivalent to attend(q, repeat(k, g), repeat(v, g)) but the
+        K/V stream is read once per sample instead of once per beam (measured
+        85 MB/step of duplicated cross reads at 384, batch 32 x beam 3).
+        ``mask`` must then be [Bk, 1, 1, Tk]."""
+        bq, tq, _ = q_in.shape
+        bk = k_proj.shape[0]
+        if bq != bk:
+            assert bq % bk == 0, f"query rows {bq} not a multiple of kv rows {bk}"
+            g = bq // bk
+            h = self.num_heads
+            q = self.wq(q_in).reshape(bk, g * tq, h, -1).transpose(0, 2, 1, 3)
+            out, probs = dot_attention(q, self._split(k_proj), self._split(v_proj),
+                                       mask=mask)
+            self.sow("intermediates", "attn", probs)
+            out = out.transpose(0, 2, 1, 3).reshape(bq, tq, -1)
+            return self.wo(out)
         q = self._split(self.wq(q_in))
         k = self._split(k_proj)
         v = self._split(v_proj)

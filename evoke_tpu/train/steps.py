@@ -102,13 +102,6 @@ def make_eval_step(model, loss_key: str = "all_loss", with_indication: bool = Fa
     return eval_step
 
 
-def _expand_for_beams(tree, beam: int):
-    """Repeat the leading batch axis beam times: [B, ...] -> [B*beam, ...]."""
-    def rep(x):
-        return jnp.repeat(x, beam, axis=0)
-    return jax.tree_util.tree_map(rep, tree)
-
-
 def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                        with_indication: bool = False, serving: bool = False):
     """Returns a jitted (state, batch) -> seq [B, L] generation step.
@@ -140,17 +133,19 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
         enc, att_mask = model.apply(variables, batch["images"], batch["pids"], batch["valid"],
                                     b, *inc, method=model.encode_for_decode)
         if beam > 1 and decode_cfg.sample_method in ("greedy", "beam_search"):
+            # cross K/V and attention masks are NOT beam-expanded: all beams
+            # of a sample attend identical encoder rows, and MultiHeadAttention
+            # .attend's shared-KV path reads each sample's cross K/V once per
+            # step instead of beam times (exact; layers.py)
             groups = max(int(decode_cfg.group_size), 1)
             if groups > 1:
                 bdash = beam // groups
-                enc_g = _expand_for_beams(enc, bdash)
-                mask_g = _expand_for_beams(att_mask, bdash)
 
                 def step_g(tok, pos, dstate):
-                    return model.apply(variables, tok, pos, dstate, mask_g,
+                    return model.apply(variables, tok, pos, dstate, att_mask,
                                        method=model.decode_step)
 
-                states = [model.apply(variables, enc_g, b * bdash, max_seq_len,
+                states = [model.apply(variables, enc, b * bdash, max_seq_len,
                                       method=model.init_decode_state)
                           for _ in range(groups)]
                 res = diverse_beam_search(
@@ -158,15 +153,13 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                     diversity_lambda=decode_cfg.diversity_lambda,
                     length_penalty=decode_cfg.length_penalty, **common)
                 return res.seqs[:, 0, :]
-            enc_b = _expand_for_beams(enc, beam)
-            mask_b = _expand_for_beams(att_mask, beam)
-            state0 = model.apply(variables, enc_b, b * beam, schedule[0],
+            state0 = model.apply(variables, enc, b * beam, schedule[0],
                                  method=model.init_decode_state)
 
             # raw-logits two-stage top-k (exact; see beam_search docstring):
             # skips the [N, V] f32 log_softmax in the loop — a large-vocab win
             def step(tok, pos, dstate):
-                return model.apply(variables, tok, pos, dstate, mask_b,
+                return model.apply(variables, tok, pos, dstate, att_mask,
                                    return_logits=True, method=model.decode_step)
 
             res = beam_search(step, state0, b, beam_size=beam,

@@ -241,6 +241,32 @@ class TestRMDecoder:
                                        rtol=0.05, atol=0.05)
 
 
+    def test_shared_cross_kv_matches_expanded(self, rng):
+        """Beam decode with cross K/V kept at B rows (MultiHeadAttention.attend
+        shared-KV path, layers.py) must equal the beam-expanded form: all beams
+        of a sample attend identical encoder rows, so reading each sample's
+        cross K/V once is the same attention with less HBM traffic."""
+        beam = 3
+        dec, variables, att, att_mask, ids, tgt_mask = self._make(rng)
+        att_mask = att_mask.at[1, 2:].set(0)  # ragged patches: exercise the mask
+        b, t = ids.shape
+        enc = dec.apply(variables, att, att_mask, method=dec.encode)
+
+        # expanded reference: repeat enc + mask per beam (rows [s0b0,s0b1,...])
+        enc_b = jnp.repeat(enc, beam, axis=0)
+        mask_b = jnp.repeat(att_mask, beam, axis=0)
+        ids_b = jnp.repeat(ids, beam, axis=0)
+        st_e = dec.apply(variables, enc_b, b * beam, method=dec.init_decode_state)
+        st_s = dec.apply(variables, enc, b * beam, method=dec.init_decode_state)
+        for step_t in range(t):
+            lp_e, st_e = dec.apply(variables, ids_b[:, step_t], step_t, st_e, mask_b,
+                                   method=dec.decode_step)
+            lp_s, st_s = dec.apply(variables, ids_b[:, step_t], step_t, st_s, att_mask,
+                                   method=dec.decode_step)
+            np.testing.assert_allclose(np.asarray(lp_s), np.asarray(lp_e),
+                                       rtol=1e-5, atol=1e-5)
+
+
 class TestGroupedFusionAttention:
     """max_partners=G grouped partner-gather fusion == dense masked fusion
     whenever every anchor has <= G partners (same attended key set)."""
