@@ -108,6 +108,17 @@ class DecodeConfig:
     # stay bit-comparable across runs and to the reference), 4 on the serving
     # path (throughput; make_generate_step(serving=True)).
     cache_phases: int = 0
+    # Beam KV-cache bookkeeping: "reorder" gathers every [N, L, D] cache by
+    # beam index each step (read+write); "ancestor" keeps caches un-permuted
+    # and tracks lineages in a [B, beam, L] int32 table, attending the
+    # flattened beam*L rows masked to each beam's ancestry — the same attended
+    # set (exact in f32; decode/beam.py, models/layers.py
+    # cached_self_attention). "auto" = reorder: MEASURED faster on v5e-1
+    # (ancestor was -43% @224 / -21% @384 steady-state, flagship batch 32 beam
+    # 3 — the reorder's per-sample contiguous gathers run near bandwidth while
+    # the ancestor form's masked flat attention does not; DESIGN 5f).
+    # "ancestor" stays available as an exact opt-in experiment.
+    beam_kv: str = "auto"                        # auto | reorder | ancestor
 
 
 @dataclass

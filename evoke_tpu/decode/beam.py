@@ -56,13 +56,22 @@ class BeamResult(NamedTuple):
     alive_logp: jnp.ndarray  # [B, beam] raw running sums (diagnostic)
 
 
-def _gather_beams(tree, beam_idx, batch: int, beam: int):
+def _gather_beams(tree, beam_idx, batch: int, beam: int, pos=None):
     """Reindex the leading N=B*beam axis of every leaf by beam_idx [B, beam].
 
     Dict entries whose key starts with 'cross' are skipped: the encoder-side
-    cross K/V are expanded per beam BEFORE decoding starts, so all beams of a
-    sample hold identical rows — re-gathering them every step is pure HBM
-    traffic (measured ~29 MB/step on the flagship at batch 32 x beam 3)."""
+    cross K/V are kept beam-invariant (one row per sample) — all beams of a
+    sample attend identical rows (models/layers.py attend shared-KV path).
+
+    If the state carries an ``anc`` beam-ancestor table (ancestor_kv mode),
+    the self-attn KV caches are NOT gathered either — they stay physically
+    un-permuted and ``anc`` records each surviving beam's lineage instead
+    (models/layers.py cached_self_attention). Here that lineage advances:
+    new beam b of sample s descends from physical row beam_idx[s, b], so its
+    history is that row's history and its slot-``pos`` entry IS beam_idx[s, b]
+    (the step wrote row j's new K/V at (j, pos) before the top-k). This turns
+    the per-step cache reorder (gather-read + write of every [N, L, D] cache)
+    into an [B, beam, L] int32 shuffle."""
     flat_idx = (beam_idx + jnp.arange(batch)[:, None] * beam).reshape(-1)
 
     def gather(x):
@@ -73,6 +82,19 @@ def _gather_beams(tree, beam_idx, batch: int, beam: int):
             return x[:, flat_idx]
         return x
 
+    if isinstance(tree, dict) and "anc" in tree:
+        assert pos is not None, "ancestor_kv gather needs the step position"
+        out = {}
+        for k, v in tree.items():
+            if k.startswith("cross") or k in ("cache_k", "cache_v"):
+                out[k] = v
+            elif k == "anc":
+                a = jnp.take_along_axis(v, beam_idx[:, :, None], axis=1)
+                out[k] = jax.lax.dynamic_update_index_in_dim(
+                    a, beam_idx, pos, axis=2)
+            else:
+                out[k] = jax.tree_util.tree_map(gather, v)
+        return out
     if isinstance(tree, dict):
         return {k: (v if k.startswith("cross")
                     else jax.tree_util.tree_map(gather, v))
@@ -111,14 +133,20 @@ def grow_caches(state, new_len: int):
             f"{sorted(state) if isinstance(state, dict) else 'n/a'}. Use "
             "cache_phases=1 (single-phase) for decoders with a different state layout.")
 
-    def pad(x):
-        if x.shape[1] >= new_len:
+    def pad(x, axis=1):
+        if x.shape[axis] >= new_len:
             return x
-        fill = jnp.zeros((x.shape[0], new_len - x.shape[1]) + x.shape[2:], x.dtype)
-        return jnp.concatenate([x, fill], axis=1)
+        shape = list(x.shape)
+        shape[axis] = new_len - x.shape[axis]
+        return jnp.concatenate([x, jnp.zeros(shape, x.dtype)], axis=axis)
 
     out = {key: (jax.tree_util.tree_map(pad, v) if key in ("cache_k", "cache_v") else v)
            for key, v in state.items()}
+    if "anc" in out:
+        # the ancestor table's time axis is last ([B, beam, L]); padded slots
+        # are overwritten at their step before ever being read
+        out["anc"] = pad(out["anc"], axis=2)
+        assert out["anc"].shape[2] == new_len
     for key in ("cache_k", "cache_v"):
         for leaf in jax.tree_util.tree_leaves(out[key]):
             assert leaf.shape[1] == new_len, \
@@ -131,7 +159,8 @@ def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, p
                 length_penalty: str = "", suppress_ids: Tuple[int, ...] = (),
                 decoding_constraint: bool = False, early_stop: bool = True,
                 unroll: int = 1, raw_logits: bool = False,
-                cache_schedule: Optional[Tuple[int, ...]] = None) -> BeamResult:
+                cache_schedule: Optional[Tuple[int, ...]] = None,
+                ancestor_kv: bool = False) -> BeamResult:
     """Batched beam search over a KV-cached step function.
 
     ``state0`` must already be sized for N = batch * beam_size rows (broadcast
@@ -168,6 +197,13 @@ def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, p
     lp = penalty_fn(length_penalty)
     schedule = (_validate_schedule(cache_schedule, max_len)
                 if cache_schedule is not None else (max_len,))
+    if ancestor_kv:
+        # caches stay un-permuted; an [B, k, L] ancestor table tracks lineages
+        # (_gather_beams / models/layers.py cached_self_attention)
+        assert isinstance(state0, dict) and "cache_k" in state0, \
+            "ancestor_kv needs a dict decode state with cache_k/cache_v"
+        lcache = jax.tree_util.tree_leaves(state0["cache_k"])[0].shape[1]
+        state0 = dict(state0, anc=jnp.zeros((batch, k, lcache), jnp.int32))
 
     def scan_body(carry, t):
         (tok, dec_state, alive_logp, seq, done_seq, done_score, ever_finished) = carry
@@ -213,7 +249,7 @@ def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, p
 
         seq = jnp.take_along_axis(seq, beam_idx[:, :, None], axis=1)
         seq = jax.lax.dynamic_update_index_in_dim(seq, tok_idx, t, axis=2)
-        dec_state = _gather_beams(dec_state, beam_idx, batch, k)
+        dec_state = _gather_beams(dec_state, beam_idx, batch, k, pos=t)
 
         finished = (tok_idx == eos_id) | (t == max_len - 1)  # [B, k]
         length = jnp.float32(t + 1)
@@ -281,7 +317,8 @@ def diverse_beam_search(step: StepFn, state0_per_group, batch: int, *, bos_id: i
                         eos_id: int, pad_id: int, vocab_size: int, beam_size: int,
                         group_size: int, max_len: int = 100,
                         diversity_lambda: float = 0.5,
-                        length_penalty: str = "") -> BeamResult:
+                        length_penalty: str = "",
+                        ancestor_kv: bool = False) -> BeamResult:
     """Diverse beam search (caption_model.py:26-202 with group_size > 1).
 
     The beam is split into ``group_size`` groups of bdash = beam_size//group_size
@@ -299,6 +336,13 @@ def diverse_beam_search(step: StepFn, state0_per_group, batch: int, *, bos_id: i
     assert bdash * g == beam_size, "beam_size must divide by group_size"
     n = batch * bdash
     lp = penalty_fn(length_penalty)
+    if ancestor_kv and bdash > 1:
+        assert all(isinstance(s0, dict) and "cache_k" in s0 for s0 in state0_per_group)
+        state0_per_group = [
+            dict(s0, anc=jnp.zeros(
+                (batch, bdash,
+                 jax.tree_util.tree_leaves(s0["cache_k"])[0].shape[1]), jnp.int32))
+            for s0 in state0_per_group]
 
     def empty_group_carry(state0):
         return {
@@ -323,7 +367,7 @@ def diverse_beam_search(step: StepFn, state0_per_group, batch: int, *, bos_id: i
         tok_idx = idx % vocab_size
         seq = jnp.take_along_axis(carry["seq"], beam_idx[:, :, None], axis=1)
         seq = jax.lax.dynamic_update_index_in_dim(seq, tok_idx, t_local, axis=2)
-        dec = _gather_beams(dec, beam_idx, batch, bdash)
+        dec = _gather_beams(dec, beam_idx, batch, bdash, pos=t_local)
         finished = (tok_idx == eos_id) | (t_local == max_len - 1)
         fin_score = jnp.where(finished, lp(jnp.float32(t_local + 1), scores), NEG_INF)
         all_scores = jnp.concatenate([carry["done_score"], fin_score], axis=1)

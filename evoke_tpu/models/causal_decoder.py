@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from evoke_tpu.models.layers import (BertAttentionBlock, BertCrossLayer, BertSelfOutput,
-                                     MultiHeadAttention, PositionwiseFFN, make_cross_mask,
+                                     MultiHeadAttention, PositionwiseFFN,
+                                     cached_self_attention, make_cross_mask,
                                      make_self_mask)
 
 Dtype = Any
@@ -61,16 +62,14 @@ class CausalLayer(nn.Module):
     def prepare_cross_kv(self, enc):
         return self.cross_attn.project_kv(enc)
 
-    def step(self, x, cross_k, cross_v, cross_mask, cache_k, cache_v, pos):
+    def step(self, x, cross_k, cross_v, cross_mask, cache_k, cache_v, pos, anc=None):
         h = self.ln1(x)
         k_new, v_new = self.self_attn.project_kv(h)
         cache_k = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype),
                                                (0, pos, 0))
         cache_v = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype),
                                                (0, pos, 0))
-        lmax = cache_k.shape[1]
-        self_mask = (jnp.arange(lmax) <= pos)[None, None, None, :]
-        x = x + self.self_attn.attend(h, cache_k, cache_v, mask=self_mask)
+        x = x + cached_self_attention(self.self_attn, h, cache_k, cache_v, pos, anc)
         h = self.ln2(x)
         x = x + self.cross_attn.attend(h, cross_k, cross_v, mask=cross_mask)
         h = self.ln3(x)
@@ -148,11 +147,12 @@ class CausalDecoder(nn.Module):
         pos_vec = self.pos_embed(jnp.asarray(pos, jnp.int32))
         x = self.tok_embed(tok)[:, None, :] + pos_vec[None, None, :]
         cross_mask = make_cross_mask(att_mask)
+        anc = state.get("anc")
         new_k, new_v = [], []
         for i, layer in enumerate(self.layers):
             x, ck, cv = layer.step(x, state["cross_k"][i], state["cross_v"][i],
                                    cross_mask, state["cache_k"][i], state["cache_v"][i],
-                                   pos)
+                                   pos, anc=anc)
             new_k.append(ck)
             new_v.append(cv)
         x = self.final_ln(x)
@@ -160,7 +160,8 @@ class CausalDecoder(nn.Module):
         logp = (logits if return_logits
                 else jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1))
         return logp, {"cache_k": tuple(new_k), "cache_v": tuple(new_v),
-                      "cross_k": state["cross_k"], "cross_v": state["cross_v"]}
+                      "cross_k": state["cross_k"], "cross_v": state["cross_v"],
+                      **({"anc": anc} if anc is not None else {})}
 
 
 class BertGenerationEmbeddings(nn.Module):
@@ -266,15 +267,17 @@ class BertGenerationDecoder(nn.Module):
     def decode_step(self, tok, pos, state, att_mask, return_logits=False):
         x = self.embeddings.at_position(tok, pos)
         cross_mask = make_cross_mask(att_mask)
+        anc = state.get("anc")
         new_k, new_v = [], []
         for i, layer in enumerate(self.layers):
             x, ck, cv = layer.step(x, state["cross_k"][i], state["cross_v"][i],
                                    cross_mask, state["cache_k"][i], state["cache_v"][i],
-                                   pos)
+                                   pos, anc=anc)
             new_k.append(ck)
             new_v.append(cv)
         logits = self.lm_head(x)[:, 0, :]
         logp = (logits if return_logits
                 else jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1))
         return logp, {"cache_k": tuple(new_k), "cache_v": tuple(new_v),
-                      "cross_k": state["cross_k"], "cross_v": state["cross_v"]}
+                      "cross_k": state["cross_k"], "cross_v": state["cross_v"],
+                      **({"anc": anc} if anc is not None else {})}

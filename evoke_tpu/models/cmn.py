@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from evoke_tpu.models.layers import (MultiHeadAttention, PositionwiseFFN, TokenEmbed,
-                                     TorchLayerNorm, make_cross_mask, make_self_mask,
+                                     TorchLayerNorm, cached_self_attention,
+                                     make_cross_mask, make_self_mask,
                                      xavier, sinusoidal_pe)
 from evoke_tpu.models.rm_decoder import EncoderLayer
 
@@ -100,16 +101,14 @@ class PlainDecoderLayer(nn.Module):
     def prepare_cross_kv(self, enc):
         return self.src_attn.project_kv(enc)
 
-    def step(self, x, cross_k, cross_v, cross_mask, cache_k, cache_v, pos):
+    def step(self, x, cross_k, cross_v, cross_mask, cache_k, cache_v, pos, anc=None):
         h = self.norm1(x)
         k_new, v_new = self.self_attn.project_kv(h)
         cache_k = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype),
                                                (0, pos, 0))
         cache_v = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype),
                                                (0, pos, 0))
-        lmax = cache_k.shape[1]
-        self_mask = (jnp.arange(lmax) <= pos)[None, None, None, :]
-        x = x + self.self_attn.attend(h, cache_k, cache_v, mask=self_mask)
+        x = x + cached_self_attention(self.self_attn, h, cache_k, cache_v, pos, anc)
         h = self.norm2(x)
         x = x + self.src_attn.attend(h, cross_k, cross_v, mask=cross_mask)
         h = self.norm3(x)
@@ -212,11 +211,12 @@ class CMNDecoder(nn.Module):
         x = self.tgt_embed.at_position(tok, pos)
         x = self._embed_with_memory(x)
         cross_mask = make_cross_mask(att_mask)
+        anc = state.get("anc")
         new_k, new_v = [], []
         for i, layer in enumerate(self.dec_layers):
             x, ck, cv = layer.step(x, state["cross_k"][i], state["cross_v"][i],
                                    cross_mask, state["cache_k"][i], state["cache_v"][i],
-                                   pos)
+                                   pos, anc=anc)
             new_k.append(ck)
             new_v.append(cv)
         x = self.dec_norm(x)
@@ -224,4 +224,5 @@ class CMNDecoder(nn.Module):
         logp = (logits if return_logits
                 else jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1))
         return logp, {"cache_k": tuple(new_k), "cache_v": tuple(new_v),
-                      "cross_k": state["cross_k"], "cross_v": state["cross_v"]}
+                      "cross_k": state["cross_k"], "cross_v": state["cross_v"],
+                      **({"anc": anc} if anc is not None else {})}

@@ -144,6 +144,43 @@ class MultiHeadAttention(nn.Module):
         return self.attend(q_in, k, v, mask=mask, deterministic=deterministic)
 
 
+def cached_self_attention(attn, h, cache_k, cache_v, pos, anc=None):
+    """Decode-step self-attention over the KV cache.
+
+    ``attn`` is any block exposing ``attend(q, k_proj, v_proj, mask=...)``
+    (MultiHeadAttention / BertAttentionBlock). h: [N, 1, D]; caches [N, L, D];
+    pos: scalar step index.
+
+    anc=None: plain causal read of the row's own cache (slots <= pos).
+
+    anc [B, k, L] (int, beam-ancestor table; N = B*k, rows sample-major):
+    beam-search mode WITHOUT per-step cache reorder. Caches stay physically
+    un-permuted; ``anc[s, b, t']`` names the physical beam row (within sample
+    s) whose slot t' holds this beam's ancestor K/V at time t'. Each query
+    attends the flattened k*L rows of its sample's caches, masked to its own
+    lineage — the same attended set (hence the same attention) as gathering
+    the caches by beam index each step, but the cache is READ once instead of
+    read + reorder-gathered + rewritten (the 3-pass traffic in the analytic
+    model; the reorder gathers were 15 of 54 loop-ms on the 224 trace).
+    Slot ``pos`` is the row's own just-written K/V (the ancestor entry for
+    ``pos`` is recorded by the beam AFTER its top-k picks parents)."""
+    if anc is None:
+        lmax = cache_k.shape[1]
+        mask = (jnp.arange(lmax) <= pos)[None, None, None, :]
+        return attn.attend(h, cache_k, cache_v, mask=mask)
+    b, kbeam, lmax = anc.shape
+    k_flat = cache_k.reshape(b, kbeam * lmax, cache_k.shape[-1])
+    v_flat = cache_v.reshape(b, kbeam * lmax, cache_v.shape[-1])
+    t = jnp.arange(lmax)
+    hist = jax.nn.one_hot(anc, kbeam, dtype=bool) \
+        & (t < pos)[None, None, :, None]                       # [B, q, t', j]
+    self_now = jnp.eye(kbeam, dtype=bool)[:, None, :] \
+        & (t == pos)[None, :, None]                            # [q, t', j]
+    mask = (hist | self_now[None]).transpose(0, 1, 3, 2)       # [B, q, j, t']
+    mask = mask.reshape(b, 1, kbeam, kbeam * lmax)
+    return attn.attend(h, k_flat, v_flat, mask=mask)
+
+
 class PositionwiseFFN(nn.Module):
     d_model: int
     d_ff: int
@@ -252,12 +289,20 @@ class BertAttentionBlock(nn.Module):
         return self.wk(x), self.wv(x)
 
     def attend(self, x, k_proj, v_proj, mask=None, deterministic=True):
-        """Attention + post-LN residual with already-projected k/v ([B, Tk, D])."""
+        """Attention + post-LN residual with already-projected k/v ([Bk, Tk, D]).
+
+        Supports the shared-KV form (same contract as MultiHeadAttention
+        .attend): when x has g-times more rows than k_proj (beam-grouped
+        queries, rows sample-major), each sample's g query rows attend its
+        single K/V row directly; ``mask`` must then broadcast to
+        [Bk, h, g*Tq, Tk]."""
         b, tq, _ = x.shape
         h = self.num_heads
-        q = self.wq(x).reshape(b, tq, h, -1).transpose(0, 2, 1, 3)
-        k = k_proj.reshape(b, k_proj.shape[1], h, -1).transpose(0, 2, 1, 3)
-        v = v_proj.reshape(b, v_proj.shape[1], h, -1).transpose(0, 2, 1, 3)
+        bk = k_proj.shape[0]
+        assert b % bk == 0, f"query rows {b} not a multiple of kv rows {bk}"
+        q = self.wq(x).reshape(bk, (b // bk) * tq, h, -1).transpose(0, 2, 1, 3)
+        k = k_proj.reshape(bk, k_proj.shape[1], h, -1).transpose(0, 2, 1, 3)
+        v = v_proj.reshape(bk, v_proj.shape[1], h, -1).transpose(0, 2, 1, 3)
         dropout_fn = None if deterministic or self.dropout_rate == 0.0 else (
             lambda p: self.drop(p, deterministic=False))
         ctx, _ = dot_attention(q, k, v, mask=mask, dropout_fn=dropout_fn)
@@ -333,17 +378,17 @@ class BertCrossLayer(nn.Module):
     def prepare_cross_kv(self, enc):
         return self.crossattention.project_kv(enc)
 
-    def step(self, x, cross_k, cross_v, cross_mask, cache_k, cache_v, pos):
+    def step(self, x, cross_k, cross_v, cross_mask, cache_k, cache_v, pos, anc=None):
         """One-token decode step with projected-KV caching (exact: every
         sublayer is causal and the post-LN residuals act per position).
 
-        x: [B, 1, D]; cache_k/v: [B, Lmax, D]; pos: scalar int."""
+        x: [B, 1, D]; cache_k/v: [B, Lmax, D]; pos: scalar int;
+        anc: optional beam-ancestor table (cached_self_attention)."""
         k_new, v_new = self.attention.project_kv(x)
         cache_k = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype),
                                                (0, pos, 0))
         cache_v = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype),
                                                (0, pos, 0))
-        self_mask = (jnp.arange(cache_k.shape[1]) <= pos)[None, None, None, :]
-        x = self.attention.attend(x, cache_k, cache_v, mask=self_mask)
+        x = cached_self_attention(self.attention, x, cache_k, cache_v, pos, anc)
         x = self.crossattention.attend(x, cross_k, cross_v, mask=cross_mask)
         return self.ffn(x), cache_k, cache_v

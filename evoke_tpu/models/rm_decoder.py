@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from evoke_tpu.models.layers import (MultiHeadAttention, PositionwiseFFN, TokenEmbed,
-                                     TorchLayerNorm, make_cross_mask, make_self_mask, xavier)
+                                     TorchLayerNorm, cached_self_attention,
+                                     make_cross_mask, make_self_mask, xavier)
 
 Dtype = Any
 
@@ -168,18 +169,18 @@ class RMDecoderLayer(nn.Module):
     def prepare_cross_kv(self, enc):
         return self.src_attn.project_kv(enc)
 
-    def step(self, x, cross_k, cross_v, cross_mask, memory, cache_k, cache_v, pos):
+    def step(self, x, cross_k, cross_v, cross_mask, memory, cache_k, cache_v, pos,
+             anc=None):
         """One-token decode step with projected-KV caching (exact vs full re-decode).
 
         x: [B, 1, D]; memory: [B, 1, S*Drm]; cache_k/v: [B, Lmax, D]; pos: scalar.
+        anc: optional beam-ancestor table (layers.cached_self_attention).
         """
         h = self.cln1(x, memory)
         k_new, v_new = self.self_attn.project_kv(h)
         cache_k = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype), (0, pos, 0))
         cache_v = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype), (0, pos, 0))
-        lmax = cache_k.shape[1]
-        self_mask = (jnp.arange(lmax) <= pos)[None, None, None, :]
-        x = x + self.self_attn.attend(h, cache_k, cache_v, mask=self_mask)
+        x = x + cached_self_attention(self.self_attn, h, cache_k, cache_v, pos, anc)
         h = self.cln2(x, memory)
         x = x + self.src_attn.attend(h, cross_k, cross_v, mask=cross_mask)
         h = self.cln3(x, memory)
@@ -288,10 +289,12 @@ class RMDecoder(nn.Module):
         x = self.tgt_embed.at_position(tok, pos)               # [B, 1, D]
         mem = self.rm.step(x[:, 0, :], state["memory"])        # [B, S*D]
         cross_mask = make_cross_mask(att_mask)
+        anc = state.get("anc")
         new_k, new_v = [], []
         for i, layer in enumerate(self.dec_layers):
             x, ck, cv = layer.step(x, state["cross_k"][i], state["cross_v"][i], cross_mask,
-                                   mem[:, None, :], state["cache_k"][i], state["cache_v"][i], pos)
+                                   mem[:, None, :], state["cache_k"][i], state["cache_v"][i], pos,
+                                   anc=anc)
             new_k.append(ck)
             new_v.append(cv)
         x = self.dec_norm(x)
@@ -305,4 +308,6 @@ class RMDecoder(nn.Module):
             "cross_k": state["cross_k"],
             "cross_v": state["cross_v"],
         }
+        if anc is not None:
+            new_state["anc"] = anc  # pass-through; the beam advances it per step
         return logp, new_state

@@ -119,6 +119,10 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
     phases = int(getattr(decode_cfg, "cache_phases", 0))
     if phases <= 0:
         phases = 4 if serving else 1
+    beam_kv = str(getattr(decode_cfg, "beam_kv", "auto"))
+    if beam_kv not in ("auto", "reorder", "ancestor"):
+        raise ValueError(f"beam_kv must be auto|reorder|ancestor, got {beam_kv!r}")
+    ancestor_kv = beam_kv == "ancestor"  # auto = reorder (measured; config.py)
     if phases > 1 and max_seq_len >= 2 * phases:
         schedule = tuple(-(-max_seq_len * i // phases) for i in range(1, phases + 1))
     else:
@@ -151,7 +155,8 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                 res = diverse_beam_search(
                     step_g, states, b, beam_size=beam, group_size=groups,
                     diversity_lambda=decode_cfg.diversity_lambda,
-                    length_penalty=decode_cfg.length_penalty, **common)
+                    length_penalty=decode_cfg.length_penalty,
+                    ancestor_kv=ancestor_kv, **common)
                 return res.seqs[:, 0, :]
             state0 = model.apply(variables, enc, b * beam, schedule[0],
                                  method=model.init_decode_state)
@@ -167,7 +172,7 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                               suppress_ids=suppress,
                               decoding_constraint=bool(decode_cfg.decoding_constraint),
                               cache_schedule=schedule, raw_logits=True,
-                              **common)
+                              ancestor_kv=ancestor_kv, **common)
             return res.seqs[:, 0, :]
         state0 = model.apply(variables, enc, b, schedule[0], method=model.init_decode_state)
 

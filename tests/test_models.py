@@ -267,6 +267,38 @@ class TestRMDecoder:
                                        rtol=1e-5, atol=1e-5)
 
 
+    @pytest.mark.parametrize("schedule", [None, (3, 5, 7)])
+    def test_ancestor_kv_matches_reorder(self, rng, schedule):
+        """Beam search with ancestor_kv=True (un-permuted caches + lineage
+        table, layers.cached_self_attention) must reproduce the reorder-mode
+        tokens and scores: the attended set per query is identical, only the
+        cache bookkeeping differs."""
+        from evoke_tpu.decode.beam import beam_search
+
+        beam, t = 3, 7
+        dec, variables, att, att_mask, ids, tgt_mask = self._make(rng)
+        att_mask = att_mask.at[1, 2:].set(0)
+        b = att.shape[0]
+        enc = dec.apply(variables, att, att_mask, method=dec.encode)
+
+        def mk_state(lmax):
+            return dec.apply(variables, enc, b * beam, lmax,
+                             method=dec.init_decode_state)
+
+        def step(tok, pos, dstate):
+            return dec.apply(variables, tok, pos, dstate, att_mask,
+                             method=dec.decode_step)
+
+        kw = dict(bos_id=29, eos_id=30, pad_id=0, vocab_size=31, beam_size=beam,
+                  max_len=t, cache_schedule=schedule)
+        l0 = schedule[0] if schedule else t
+        base = beam_search(step, mk_state(l0), b, **kw)
+        anc = beam_search(step, mk_state(l0), b, ancestor_kv=True, **kw)
+        np.testing.assert_array_equal(np.asarray(base.seqs), np.asarray(anc.seqs))
+        np.testing.assert_allclose(np.asarray(base.scores), np.asarray(anc.scores),
+                                   rtol=1e-5, atol=1e-6)
+
+
 class TestGroupedFusionAttention:
     """max_partners=G grouped partner-gather fusion == dense masked fusion
     whenever every anchor has <= G partners (same attended key set)."""
