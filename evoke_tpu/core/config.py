@@ -119,6 +119,13 @@ class DecodeConfig:
     # the ancestor form's masked flat attention does not; DESIGN 5f).
     # "ancestor" stays available as an exact opt-in experiment.
     beam_kv: str = "auto"                        # auto | reorder | ancestor
+    # KV-cache storage dtype for decoding: "" = the model compute dtype
+    # (bf16 on TPU). "int8" stores the self-attn caches 8-bit with per-slot
+    # absmax scales (models/layers.py quantized_cache_update) — half the cache
+    # HBM traffic and memory, dequantized at the attend boundary. QUANTIZED
+    # numerics (not bit-exact to bf16 caches): opt-in, serving-oriented;
+    # only the R2Gen decoder implements it today.
+    kv_cache_dtype: str = ""                     # "" | int8
 
 
 @dataclass

@@ -86,8 +86,8 @@ def _gather_beams(tree, beam_idx, batch: int, beam: int, pos=None):
         assert pos is not None, "ancestor_kv gather needs the step position"
         out = {}
         for k, v in tree.items():
-            if k.startswith("cross") or k in ("cache_k", "cache_v"):
-                out[k] = v
+            if k.startswith("cross") or k.startswith("cache_"):
+                out[k] = v  # caches AND their int8 scales stay un-permuted
             elif k == "anc":
                 a = jnp.take_along_axis(v, beam_idx[:, :, None], axis=1)
                 out[k] = jax.lax.dynamic_update_index_in_dim(
@@ -140,7 +140,9 @@ def grow_caches(state, new_len: int):
         shape[axis] = new_len - x.shape[axis]
         return jnp.concatenate([x, jnp.zeros(shape, x.dtype)], axis=axis)
 
-    out = {key: (jax.tree_util.tree_map(pad, v) if key in ("cache_k", "cache_v") else v)
+    out = {key: (jax.tree_util.tree_map(pad, v)
+                 if key in ("cache_k", "cache_v", "cache_k_scale", "cache_v_scale")
+                 else v)
            for key, v in state.items()}
     if "anc" in out:
         # the ancestor table's time axis is last ([B, beam, L]); padded slots

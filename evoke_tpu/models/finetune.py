@@ -190,7 +190,10 @@ class FinetuneModel(nn.Module):
         enc = self.text_decoder.encode(att_feats, att_mask, deterministic=True)
         return enc, att_mask
 
-    def init_decode_state(self, enc, batch: int, max_len: Optional[int] = None):
+    def init_decode_state(self, enc, batch: int, max_len: Optional[int] = None,
+                          kv_dtype: Optional[str] = None):
+        if kv_dtype:  # only RMDecoder implements quantized caches today
+            return self.text_decoder.init_decode_state(enc, batch, max_len, kv_dtype)
         return self.text_decoder.init_decode_state(enc, batch, max_len)
 
     def decode_step(self, tok, pos, state, att_mask, return_logits=False):

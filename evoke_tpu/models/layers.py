@@ -144,7 +144,32 @@ class MultiHeadAttention(nn.Module):
         return self.attend(q_in, k, v, mask=mask, deterministic=deterministic)
 
 
-def cached_self_attention(attn, h, cache_k, cache_v, pos, anc=None):
+def quantized_cache_update(cache, scale, new, pos):
+    """Write ``new`` [N, 1, D] into an int8 KV cache with per-slot absmax scales.
+
+    cache: [N, L, D] int8; scale: [N, L] f32. Each written slot stores
+    round(new / s) with s = absmax(new)/127 — 8-bit symmetric per-token
+    quantization. Returns the updated (cache, scale)."""
+    new32 = new.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(new32), axis=-1) / 127.0, 1e-8)  # [N, 1]
+    q = jnp.round(new32 / s[..., None]).astype(jnp.int8)
+    cache = jax.lax.dynamic_update_slice(cache, q, (0, pos, 0))
+    scale = jax.lax.dynamic_update_slice(scale, s.astype(scale.dtype), (0, pos))
+    return cache, scale
+
+
+def _dequantize(cache, scale, dtype):
+    """int8 [N, L, D] x per-slot scale [N, L] -> dtype. int8 values are exact
+    in bf16, so the only rounding is the scale multiply. Left as a separate op
+    for XLA to fuse into the consuming matmul's operand read (whether the HBM
+    read stays int8 is an XLA scheduling fact — measured, not assumed)."""
+    if scale is None:
+        return cache
+    return cache.astype(dtype) * scale[..., None].astype(dtype)
+
+
+def cached_self_attention(attn, h, cache_k, cache_v, pos, anc=None,
+                          scale_k=None, scale_v=None):
     """Decode-step self-attention over the KV cache.
 
     ``attn`` is any block exposing ``attend(q, k_proj, v_proj, mask=...)``
@@ -163,7 +188,13 @@ def cached_self_attention(attn, h, cache_k, cache_v, pos, anc=None):
     read + reorder-gathered + rewritten (the 3-pass traffic in the analytic
     model; the reorder gathers were 15 of 54 loop-ms on the 224 trace).
     Slot ``pos`` is the row's own just-written K/V (the ancestor entry for
-    ``pos`` is recorded by the beam AFTER its top-k picks parents)."""
+    ``pos`` is recorded by the beam AFTER its top-k picks parents).
+
+    scale_k/scale_v: per-slot absmax scales [N, L] when the caches are int8
+    (quantized_cache_update); the caches are dequantized to the query dtype
+    at the attend boundary."""
+    cache_k = _dequantize(cache_k, scale_k, h.dtype)
+    cache_v = _dequantize(cache_v, scale_v, h.dtype)
     if anc is None:
         lmax = cache_k.shape[1]
         mask = (jnp.arange(lmax) <= pos)[None, None, None, :]

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from evoke_tpu.models.layers import (MultiHeadAttention, PositionwiseFFN, TokenEmbed,
                                      TorchLayerNorm, cached_self_attention,
-                                     make_cross_mask, make_self_mask, xavier)
+                                     make_cross_mask, make_self_mask,
+                                     quantized_cache_update, xavier)
 
 Dtype = Any
 
@@ -170,22 +171,32 @@ class RMDecoderLayer(nn.Module):
         return self.src_attn.project_kv(enc)
 
     def step(self, x, cross_k, cross_v, cross_mask, memory, cache_k, cache_v, pos,
-             anc=None):
+             anc=None, kv_scales=None):
         """One-token decode step with projected-KV caching (exact vs full re-decode).
 
         x: [B, 1, D]; memory: [B, 1, S*Drm]; cache_k/v: [B, Lmax, D]; pos: scalar.
         anc: optional beam-ancestor table (layers.cached_self_attention).
+        kv_scales: (scale_k, scale_v) [B, Lmax] when the caches are int8
+        (DecodeConfig.kv_cache_dtype='int8'). Returns (x, ck, cv, kv_scales).
         """
         h = self.cln1(x, memory)
         k_new, v_new = self.self_attn.project_kv(h)
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype), (0, pos, 0))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype), (0, pos, 0))
-        x = x + cached_self_attention(self.self_attn, h, cache_k, cache_v, pos, anc)
+        if kv_scales is None:
+            cache_k = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype),
+                                                   (0, pos, 0))
+            cache_v = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype),
+                                                   (0, pos, 0))
+            sk = sv = None
+        else:
+            cache_k, sk = quantized_cache_update(cache_k, kv_scales[0], k_new, pos)
+            cache_v, sv = quantized_cache_update(cache_v, kv_scales[1], v_new, pos)
+        x = x + cached_self_attention(self.self_attn, h, cache_k, cache_v, pos, anc,
+                                      sk, sv)
         h = self.cln2(x, memory)
         x = x + self.src_attn.attend(h, cross_k, cross_v, mask=cross_mask)
         h = self.cln3(x, memory)
         x = x + self.ff(h)
-        return x, cache_k, cache_v
+        return x, cache_k, cache_v, (None if sk is None else (sk, sv))
 
 
 class RMDecoder(nn.Module):
@@ -260,24 +271,34 @@ class RMDecoder(nn.Module):
 
     # ---- incremental decoding ----
 
-    def init_decode_state(self, enc, batch: int, max_len: Optional[int] = None
-                          ) -> Dict[str, Any]:
+    def init_decode_state(self, enc, batch: int, max_len: Optional[int] = None,
+                          kv_dtype: Optional[str] = None) -> Dict[str, Any]:
         """Build the decode carry: relational memory + per-layer KV caches + cross K/V.
 
         Caches are PER-LAYER tuples, not one stacked [L, B, T, D] array, so
         each layer's dynamic_update_slice stands alone in the loop carry
         (measured neutral vs the stacked layout on v5e — XLA already fused the
-        unstack/restack — but the aliasing no longer depends on that fusion)."""
+        unstack/restack — but the aliasing no longer depends on that fusion).
+
+        kv_dtype='int8': caches are stored 8-bit with per-slot absmax scales
+        (layers.quantized_cache_update) — half the cache HBM traffic and
+        memory, quantized numerics (opt-in, DecodeConfig.kv_cache_dtype)."""
         lmax = max_len or self.max_seq_len
         cross = [layer.prepare_cross_kv(enc) for layer in self.dec_layers]
-        zeros = lambda: jnp.zeros((batch, lmax, self.d_model), self.dtype)
-        return {
+        cache_dt = jnp.int8 if kv_dtype in ("int8", jnp.int8) else self.dtype
+        zeros = lambda: jnp.zeros((batch, lmax, self.d_model), cache_dt)
+        state = {
             "memory": self.rm.init_memory(batch),
             "cache_k": tuple(zeros() for _ in range(self.num_layers)),
             "cache_v": tuple(zeros() for _ in range(self.num_layers)),
             "cross_k": tuple(c[0] for c in cross),
             "cross_v": tuple(c[1] for c in cross),
         }
+        if cache_dt == jnp.int8:
+            sz = lambda: jnp.zeros((batch, lmax), jnp.float32)
+            state["cache_k_scale"] = tuple(sz() for _ in range(self.num_layers))
+            state["cache_v_scale"] = tuple(sz() for _ in range(self.num_layers))
+        return state
 
     def decode_step(self, tok, pos, state, att_mask, return_logits=False):
         """tok: [B] token ids, pos: scalar int, state: from init_decode_state.
@@ -290,13 +311,20 @@ class RMDecoder(nn.Module):
         mem = self.rm.step(x[:, 0, :], state["memory"])        # [B, S*D]
         cross_mask = make_cross_mask(att_mask)
         anc = state.get("anc")
-        new_k, new_v = [], []
+        quant = "cache_k_scale" in state
+        new_k, new_v, new_sk, new_sv = [], [], [], []
         for i, layer in enumerate(self.dec_layers):
-            x, ck, cv = layer.step(x, state["cross_k"][i], state["cross_v"][i], cross_mask,
-                                   mem[:, None, :], state["cache_k"][i], state["cache_v"][i], pos,
-                                   anc=anc)
+            kv_scales = ((state["cache_k_scale"][i], state["cache_v_scale"][i])
+                         if quant else None)
+            x, ck, cv, sc = layer.step(x, state["cross_k"][i], state["cross_v"][i],
+                                       cross_mask, mem[:, None, :],
+                                       state["cache_k"][i], state["cache_v"][i], pos,
+                                       anc=anc, kv_scales=kv_scales)
             new_k.append(ck)
             new_v.append(cv)
+            if sc is not None:
+                new_sk.append(sc[0])
+                new_sv.append(sc[1])
         x = self.dec_norm(x)
         logits = self.logit(x)[:, 0, :]
         logp = (logits if return_logits
@@ -308,6 +336,9 @@ class RMDecoder(nn.Module):
             "cross_k": state["cross_k"],
             "cross_v": state["cross_v"],
         }
+        if quant:
+            new_state["cache_k_scale"] = tuple(new_sk)
+            new_state["cache_v_scale"] = tuple(new_sv)
         if anc is not None:
             new_state["anc"] = anc  # pass-through; the beam advances it per step
         return logp, new_state

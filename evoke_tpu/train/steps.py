@@ -123,6 +123,8 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
     if beam_kv not in ("auto", "reorder", "ancestor"):
         raise ValueError(f"beam_kv must be auto|reorder|ancestor, got {beam_kv!r}")
     ancestor_kv = beam_kv == "ancestor"  # auto = reorder (measured; config.py)
+    kv_dtype = str(getattr(decode_cfg, "kv_cache_dtype", "") or "")
+    init_extra = (kv_dtype,) if kv_dtype else ()
     if phases > 1 and max_seq_len >= 2 * phases:
         schedule = tuple(-(-max_seq_len * i // phases) for i in range(1, phases + 1))
     else:
@@ -158,7 +160,7 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                     length_penalty=decode_cfg.length_penalty,
                     ancestor_kv=ancestor_kv, **common)
                 return res.seqs[:, 0, :]
-            state0 = model.apply(variables, enc, b * beam, schedule[0],
+            state0 = model.apply(variables, enc, b * beam, schedule[0], *init_extra,
                                  method=model.init_decode_state)
 
             # raw-logits two-stage top-k (exact; see beam_search docstring):
@@ -174,7 +176,8 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                               cache_schedule=schedule, raw_logits=True,
                               ancestor_kv=ancestor_kv, **common)
             return res.seqs[:, 0, :]
-        state0 = model.apply(variables, enc, b, schedule[0], method=model.init_decode_state)
+        state0 = model.apply(variables, enc, b, schedule[0], *init_extra,
+                             method=model.init_decode_state)
 
         def step(tok, pos, dstate):
             return model.apply(variables, tok, pos, dstate, att_mask,

@@ -299,6 +299,57 @@ class TestRMDecoder:
                                    rtol=1e-5, atol=1e-6)
 
 
+    def test_int8_kv_cache_tracks_exact_decode(self, rng):
+        """kv_dtype='int8' stores caches 8-bit with per-slot absmax scales —
+        quantized numerics must stay close to the exact f32 cache path (the
+        only error source is one 8-bit rounding per written K/V vector)."""
+        dec, variables, att, att_mask, ids, tgt_mask = self._make(rng)
+        b, t = ids.shape
+        enc = dec.apply(variables, att, att_mask, method=dec.encode)
+        st = dec.apply(variables, enc, b, method=dec.init_decode_state)
+        st_q = dec.apply(variables, enc, b, None, "int8",
+                         method=dec.init_decode_state)
+        assert st_q["cache_k"][0].dtype == jnp.int8
+        assert st_q["cache_k_scale"][0].shape == (b, t)
+        agree = 0
+        for step_t in range(t):
+            lp, st = dec.apply(variables, ids[:, step_t], step_t, st, att_mask,
+                               method=dec.decode_step)
+            lp_q, st_q = dec.apply(variables, ids[:, step_t], step_t, st_q, att_mask,
+                                   method=dec.decode_step)
+            np.testing.assert_allclose(np.asarray(lp_q), np.asarray(lp),
+                                       atol=0.15, rtol=0.1)
+            agree += int((np.asarray(lp_q).argmax(-1) == np.asarray(lp).argmax(-1)).all())
+        assert agree >= t - 1, f"argmax agreed on only {agree}/{t} steps"
+
+    def test_int8_kv_cache_beam_with_schedule(self, rng):
+        """int8 caches must flow through beam search: scales are gathered with
+        the beams and zero-padded by grow_caches; phased == single-phase (the
+        per-step quantized writes are identical, only cache length differs)."""
+        from evoke_tpu.decode.beam import beam_search
+
+        beam, t = 3, 7
+        dec, variables, att, att_mask, ids, tgt_mask = self._make(rng)
+        b = att.shape[0]
+        enc = dec.apply(variables, att, att_mask, method=dec.encode)
+
+        def mk_state(lmax):
+            return dec.apply(variables, enc, b * beam, lmax, "int8",
+                             method=dec.init_decode_state)
+
+        def step(tok, pos, dstate):
+            return dec.apply(variables, tok, pos, dstate, att_mask,
+                             method=dec.decode_step)
+
+        kw = dict(bos_id=29, eos_id=30, pad_id=0, vocab_size=31, beam_size=beam,
+                  max_len=t)
+        single = beam_search(step, mk_state(t), b, **kw)
+        phased = beam_search(step, mk_state(3), b, cache_schedule=(3, 5, 7), **kw)
+        np.testing.assert_array_equal(np.asarray(single.seqs), np.asarray(phased.seqs))
+        np.testing.assert_allclose(np.asarray(single.scores), np.asarray(phased.scores),
+                                   rtol=1e-5, atol=1e-6)
+
+
 class TestGroupedFusionAttention:
     """max_partners=G grouped partner-gather fusion == dense masked fusion
     whenever every anchor has <= G partners (same attended key set)."""
