@@ -110,14 +110,15 @@ class DecodeConfig:
     cache_phases: int = 0
     # Beam KV-cache bookkeeping: "reorder" gathers every [N, L, D] cache by
     # beam index each step (read+write); "ancestor" keeps caches un-permuted
-    # and tracks lineages in a [B, beam, L] int32 table, attending the
-    # flattened beam*L rows masked to each beam's ancestry — the same attended
+    # and tracks lineages in a [B, beam, L] int32 table — the same attended
     # set (exact in f32; decode/beam.py, models/layers.py
-    # cached_self_attention). "auto" = reorder: MEASURED faster on v5e-1
-    # (ancestor was -43% @224 / -21% @384 steady-state, flagship batch 32 beam
-    # 3 — the reorder's per-sample contiguous gathers run near bandwidth while
-    # the ancestor form's masked flat attention does not; DESIGN 5f).
-    # "ancestor" stays available as an exact opt-in experiment.
+    # cached_self_attention). On TPU the ancestor read runs as a Pallas
+    # kernel (ops/lineage_attention.py): one HBM pass over each sample's
+    # cache block per step instead of reorder's three. "auto" resolves to
+    # ancestor for TPU SERVING (measured +4.5% @224 / +18.7% @384
+    # steady-state, v5e-1 batch 32 beam 3 — DESIGN 5f; the round-2 XLA
+    # formulation of ancestor mode had lost 43%) and to reorder for eval
+    # paths (bit-comparable outputs across backends) and int8 caches.
     beam_kv: str = "auto"                        # auto | reorder | ancestor
     # KV-cache storage dtype for decoding: "" = the model compute dtype
     # (bf16 on TPU). "int8" stores the self-attn caches 8-bit with per-slot

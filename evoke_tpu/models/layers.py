@@ -22,6 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from evoke_tpu.ops.lineage_attention import (lineage_attention,
+                                             lineage_interpret,
+                                             use_pallas_lineage)
+
 Dtype = Any
 NEG_INF = -1e9
 
@@ -143,6 +147,16 @@ class MultiHeadAttention(nn.Module):
         k, v = self.wk(k_in), self.wv(v_in)
         return self.attend(q_in, k, v, mask=mask, deterministic=deterministic)
 
+    def attend_lineage(self, h, cache_k, cache_v, anc, pos):
+        """Ancestor-mode decode attention via the Pallas lineage kernel.
+
+        h: [N, 1, D]; caches [N, L, D] (slot ``pos`` already written);
+        anc: [B, kbeam, L] int32 (layers.cached_self_attention contract)."""
+        q = self.wq(h)[:, 0, :]
+        ctx = lineage_attention(q, cache_k, cache_v, anc, pos, self.num_heads,
+                                interpret=lineage_interpret())
+        return self.wo(ctx[:, None, :])
+
 
 def quantized_cache_update(cache, scale, new, pos):
     """Write ``new`` [N, 1, D] into an int8 KV cache with per-slot absmax scales.
@@ -192,7 +206,15 @@ def cached_self_attention(attn, h, cache_k, cache_v, pos, anc=None,
 
     scale_k/scale_v: per-slot absmax scales [N, L] when the caches are int8
     (quantized_cache_update); the caches are dequantized to the query dtype
-    at the attend boundary."""
+    at the attend boundary.
+
+    Ancestor-mode dispatch: on TPU the lineage read runs as a Pallas kernel
+    (ops/lineage_attention.py — each sample's cache block is DMA'd to VMEM
+    once and the lineage mask never leaves the VPU, vs the XLA formulation's
+    beam-times-larger materialized masked scores); EVOKE_LINEAGE_KERNEL
+    forces either path."""
+    if anc is not None and scale_k is None and use_pallas_lineage(cache_k):
+        return attn.attend_lineage(h, cache_k, cache_v, anc, pos)
     cache_k = _dequantize(cache_k, scale_k, h.dtype)
     cache_v = _dequantize(cache_v, scale_v, h.dtype)
     if anc is None:
@@ -343,6 +365,15 @@ class BertAttentionBlock(nn.Module):
     def __call__(self, x, kv, mask=None, deterministic=True):
         k, v = self.project_kv(kv)
         return self.attend(x, k, v, mask=mask, deterministic=deterministic)
+
+    def attend_lineage(self, x, cache_k, cache_v, anc, pos):
+        """Ancestor-mode decode attention via the Pallas lineage kernel
+        (same contract as MultiHeadAttention.attend_lineage), followed by
+        this block's post-LN residual output."""
+        q = self.wq(x)[:, 0, :]
+        ctx = lineage_attention(q, cache_k, cache_v, anc, pos, self.num_heads,
+                                interpret=lineage_interpret())
+        return self.out(ctx[:, None, :], x)
 
 
 class BertFFNBlock(nn.Module):

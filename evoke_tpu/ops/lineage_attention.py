@@ -1,0 +1,209 @@
+"""Pallas TPU kernel: beam-lineage self-attention over un-permuted KV caches.
+
+The decode loop's dominant HBM traffic is the per-step beam bookkeeping of the
+self-attention caches. The default ("reorder") beam mode physically gathers
+every [N, L, D] cache by beam parent each step, so each cache byte moves three
+times per step (reorder read + reorder write + attend read — DESIGN.md §5f:
+the reorder gathers were 15 of 54 loop-ms on the 224 trace). The ancestor-table
+mode (decode/beam.py, layers.cached_self_attention) removes the reorder but its
+XLA formulation materializes beam-times-larger masked scores and lost 43%
+end-to-end — the bytes saved were repaid in compute-side materialization.
+
+This kernel is the formulation the hardware wants: one grid program per
+sample DMAs the sample's whole cache block (all ``kbeam`` physical beam rows,
+contiguous in the sample-major [N, L, D] layout) from HBM into VMEM ONCE,
+builds the lineage mask from the [kbeam, L] ancestor row on the VPU, and runs
+the per-head Tq-per-beam attention out of VMEM. Per decode step each cache
+byte now moves exactly once, and nothing beam-sized ever round-trips to HBM:
+
+    reorder mode:   3 passes over K+V per layer per step
+    this kernel:    1 pass  over K+V per layer per step (+ the slot write)
+
+Numerics: scores accumulate in f32 on the MXU (preferred_element_type), the
+softmax runs in f32, and the probs are cast to the value dtype for the
+weighted sum — the same contract as layers.dot_attention. The attended SET is
+identical to reorder mode (each query's lineage plus its own just-written
+slot), so f32 decoding is exact vs both other modes; on TPU bf16 the different
+tiling rounds near-tie beams differently, the same cross-compilation variance
+as DESIGN.md §5b/§5e.
+
+Reference role: the CUDA analogue would be a fused paged/beam attention
+kernel; the reference itself re-decodes the full prefix every step
+(/root/reference/modules/caption_model.py beam_search) and has no cache at
+all — this file exists for the TPU serving path only.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+def _kernel(pos_ref, q_ref, k_ref, v_ref, anc_ref, out_ref, *, num_heads: int):
+    """G samples: q [G, kbeam, D], caches [G, kbeam, L, D], anc [G, kbeam, L].
+
+    G samples share one grid program so the per-program cost (DMA issue,
+    grid sequencing, the 2*num_heads dot launches) amortizes over G times the
+    bytes — with one sample per program the kernel measured 83 us/invocation
+    against a 24 us DMA floor (device trace, 224 batch 32). The price is a
+    block-diagonal score matrix ([G*kbeam, G*kbeam*L], cross-sample entries
+    masked): G^2-growth in MXU work that is negligible at these shapes.
+
+    TPU block shapes must match the array's trailing dims, so the
+    sample-major [N, ...] arrays arrive reshaped with explicit (sample, beam)
+    axes."""
+    G, kbeam, L, D = k_ref.shape
+    gk = G * kbeam
+    dh = D // num_heads
+    pos = pos_ref[0, 0]
+
+    anc2 = anc_ref[...].reshape(gk, L)                         # [gk, L] i32
+    # sample / beam / time coordinates of each query row (no integer division:
+    # Mosaic's vector i32 div support is not assumed)
+    qsamp = jax.lax.broadcasted_iota(jnp.int32, (G, kbeam, L), 0).reshape(gk, L)
+    qbeam = jax.lax.broadcasted_iota(jnp.int32, (G, kbeam, L), 1).reshape(gk, L)
+    tvec = jax.lax.broadcasted_iota(jnp.int32, (G, kbeam, L), 2).reshape(gk, L)
+    hist = tvec < pos
+    now = tvec == pos
+    # key rows are flattened (sample, physical-beam, t)-major: r = (g*kbeam+j)*L + t.
+    # A query row attends only its own sample's block (block-diagonal mask).
+    # The pieces are materialized as f32 {0,1} before the concat: Mosaic
+    # cannot concatenate i1 vregs ("Invalid vector register cast").
+    pieces = []
+    for jj in range(gk):
+        g, j = divmod(jj, kbeam)
+        lineage = ((anc2 == j) & hist) | ((qbeam == j) & now)
+        pieces.append(jnp.where((qsamp == g) & lineage, 1.0, 0.0))
+    mask = jnp.concatenate(pieces, axis=1)                     # [gk, gk*L]
+
+    q = q_ref[...].reshape(gk, D)
+    k2 = k_ref[...].reshape(gk * L, D)
+    v2 = v_ref[...].reshape(gk * L, D)
+    scale = 1.0 / math.sqrt(dh)
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        s = jax.lax.dot_general(q[:, sl], k2[:, sl], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(mask > 0.5, s * scale, NEG_INF)          # [gk, gk*L]
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v2.dtype), v2[:, sl],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        outs.append(o.astype(out_ref.dtype))
+    out_ref[...] = jnp.concatenate(outs, axis=1).reshape(G, kbeam, D)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def lineage_attention(q, cache_k, cache_v, anc, pos, num_heads: int,
+                      interpret: bool = False):
+    """Beam-lineage cached self-attention (post-projection, pre-output-proj).
+
+    q:        [N, D]   this step's projected queries (N = B*kbeam, sample-major)
+    cache_k:  [N, L, D] un-permuted K cache (slot ``pos`` already written)
+    cache_v:  [N, L, D] un-permuted V cache
+    anc:      [B, kbeam, L] int32 — anc[s, b, t] = physical beam row (within
+              sample s) holding beam b's ancestor K/V at time t (< pos)
+    pos:      scalar int32 current step
+    Returns the attention context [N, D] in q.dtype (apply wo outside).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = q.shape
+    b, kbeam, lmax = anc.shape
+    assert n == b * kbeam and cache_k.shape == (n, lmax, d), \
+        f"shape mismatch: q {q.shape}, cache {cache_k.shape}, anc {anc.shape}"
+    g = _samples_per_block(b, kbeam, lmax, d, cache_k.dtype.itemsize)
+    pos_arr = jnp.full((1, 1), pos, jnp.int32)
+    # explicit sample axis: TPU block shapes must equal the array's trailing
+    # dims, and kbeam (3) is not a legal sublane count on its own
+    q4 = q.reshape(b, kbeam, d)
+    k4 = cache_k.reshape(b, kbeam, lmax, d)
+    v4 = cache_v.reshape(b, kbeam, lmax, d)
+
+    grid_spec = pl.GridSpec(
+        grid=(b // g,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, kbeam, d), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, kbeam, lmax, d), lambda s: (s, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, kbeam, lmax, d), lambda s: (s, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, kbeam, lmax), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, kbeam, d), lambda s: (s, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    bytes_kv = 2 * kbeam * lmax * d * cache_k.dtype.itemsize
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct((b, kbeam, d), q.dtype),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n * (g * kbeam) * lmax * d,
+            bytes_accessed=b * bytes_kv,
+            transcendentals=n * g * kbeam * lmax),
+        interpret=interpret,
+    )(pos_arr, q4, k4, v4, anc)
+    return out.reshape(n, d)
+
+
+def _samples_per_block(b: int, kbeam: int, lmax: int, d: int,
+                       itemsize: int) -> int:
+    """Samples per grid program: the largest divisor of the batch (<= 8)
+    whose K+V block fits in ~2.5 MB of VMEM (double-buffered by the grid
+    pipeline, so ~5 MB of the ~16 MB budget). EVOKE_LINEAGE_BLOCK overrides
+    (must divide the batch)."""
+    forced = int(os.environ.get("EVOKE_LINEAGE_BLOCK", 0))
+    if forced:
+        assert b % forced == 0, \
+            f"EVOKE_LINEAGE_BLOCK={forced} must divide the sample batch {b}"
+        return forced
+    per_sample = 2 * kbeam * lmax * d * itemsize
+    budget = 2_500_000
+    g = 1
+    for cand in (8, 4, 2):
+        if b % cand == 0 and cand * per_sample <= budget:
+            g = cand
+            break
+    return g
+
+
+def lineage_kernel_mode() -> str:
+    """EVOKE_LINEAGE_KERNEL = auto (default) | pallas | xla.
+
+    auto: the Pallas kernel on TPU backends, the XLA masked-attention
+    formulation elsewhere (CPU/GPU). 'pallas' forces the kernel even off-TPU
+    (runs in interpret mode there — slow, for exactness tests)."""
+    mode = os.environ.get("EVOKE_LINEAGE_KERNEL", "auto")
+    if mode not in ("auto", "pallas", "xla"):
+        raise ValueError(f"EVOKE_LINEAGE_KERNEL must be auto|pallas|xla, got {mode!r}")
+    return mode
+
+
+def use_pallas_lineage(cache_k) -> bool:
+    """Dispatch policy for layers.cached_self_attention's ancestor branch.
+
+    int8-quantized caches stay on the XLA path (the kernel would need the
+    per-slot scales; the quantized mode is itself opt-in)."""
+    mode = lineage_kernel_mode()
+    if mode == "xla" or cache_k.dtype == jnp.int8:
+        return False
+    return mode == "pallas" or jax.default_backend() == "tpu"
+
+
+def lineage_interpret() -> bool:
+    """Interpret mode when the kernel is forced onto a non-TPU backend."""
+    return jax.default_backend() != "tpu"

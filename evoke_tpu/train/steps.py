@@ -102,6 +102,26 @@ def make_eval_step(model, loss_key: str = "all_loss", with_indication: bool = Fa
     return eval_step
 
 
+def resolve_beam_kv(decode_cfg, serving: bool) -> str:
+    """Resolve DecodeConfig.beam_kv 'auto' to a concrete cache strategy.
+
+    Serving on TPU: ancestor-table caches + the Pallas lineage kernel
+    (ops/lineage_attention.py) — one HBM pass over the caches per step
+    instead of reorder's three (measured +4.5% @224 / +18.7% @384
+    steady-state, v5e-1 batch 32 beam 3, DESIGN 5f). Eval paths stay on
+    reorder for bit-comparable outputs across backends (bf16 near-tie beams
+    round differently under the kernel's f32 score accumulation), and the
+    int8 cache path keeps reorder (the kernel reads bf16/f32 caches)."""
+    beam_kv = str(getattr(decode_cfg, "beam_kv", "auto"))
+    if beam_kv not in ("auto", "reorder", "ancestor"):
+        raise ValueError(f"beam_kv must be auto|reorder|ancestor, got {beam_kv!r}")
+    if beam_kv != "auto":
+        return beam_kv
+    kv_dtype = str(getattr(decode_cfg, "kv_cache_dtype", "") or "")
+    return ("ancestor" if serving and kv_dtype != "int8"
+            and jax.default_backend() == "tpu" else "reorder")
+
+
 def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                        with_indication: bool = False, serving: bool = False):
     """Returns a jitted (state, batch) -> seq [B, L] generation step.
@@ -119,11 +139,8 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
     phases = int(getattr(decode_cfg, "cache_phases", 0))
     if phases <= 0:
         phases = 4 if serving else 1
-    beam_kv = str(getattr(decode_cfg, "beam_kv", "auto"))
-    if beam_kv not in ("auto", "reorder", "ancestor"):
-        raise ValueError(f"beam_kv must be auto|reorder|ancestor, got {beam_kv!r}")
-    ancestor_kv = beam_kv == "ancestor"  # auto = reorder (measured; config.py)
     kv_dtype = str(getattr(decode_cfg, "kv_cache_dtype", "") or "")
+    ancestor_kv = resolve_beam_kv(decode_cfg, serving) == "ancestor"
     init_extra = (kv_dtype,) if kv_dtype else ()
     if phases > 1 and max_seq_len >= 2 * phases:
         schedule = tuple(-(-max_seq_len * i // phases) for i in range(1, phases + 1))
