@@ -122,3 +122,40 @@ class TestLineageKernel:
         np.testing.assert_array_equal(np.asarray(base.seqs), np.asarray(kern.seqs))
         np.testing.assert_allclose(np.asarray(base.scores), np.asarray(kern.scores),
                                    rtol=1e-5, atol=1e-6)
+
+    def test_diverse_beam_ancestor_matches_reorder(self, rng, monkeypatch):
+        """Diverse beam search (groups of bdash=2 beams) in ancestor mode,
+        through both the XLA formulation and the forced Pallas kernel, must
+        reproduce reorder-mode tokens."""
+        from evoke_tpu.decode.beam import diverse_beam_search
+        from evoke_tpu.models.rm_decoder import RMDecoder
+
+        vocab, b, t, p = 30, 2, 7, 4
+        beam, groups = 4, 2
+        dec = RMDecoder(vocab_size=vocab, d_model=16, d_ff=32, d_vf=24,
+                        num_layers=2, num_heads=2, rm_num_slots=3, rm_d_model=16,
+                        max_seq_len=t, drop_prob_lm=0.0)
+        att = jnp.asarray(rng.normal(size=(b, p, 24)), jnp.float32)
+        att_mask = jnp.ones((b, p), jnp.int32)
+        ids = jnp.asarray(rng.integers(1, vocab, size=(b, t)), jnp.int32)
+        variables = dec.init(KEY, att, att_mask, ids, jnp.ones((b, t), jnp.int32))
+        enc = dec.apply(variables, att, att_mask, method=dec.encode)
+        bdash = beam // groups
+
+        def mk_states():
+            return [dec.apply(variables, enc, b * bdash, t,
+                              method=dec.init_decode_state) for _ in range(groups)]
+
+        def step(tok, pos, dstate):
+            return dec.apply(variables, tok, pos, dstate, att_mask,
+                             method=dec.decode_step)
+
+        kw = dict(bos_id=29, eos_id=30, pad_id=0, vocab_size=31, beam_size=beam,
+                  group_size=groups, diversity_lambda=0.5, max_len=t)
+        base = diverse_beam_search(step, mk_states(), b, **kw)
+        monkeypatch.setenv("EVOKE_LINEAGE_KERNEL", "xla")
+        anc_x = diverse_beam_search(step, mk_states(), b, ancestor_kv=True, **kw)
+        monkeypatch.setenv("EVOKE_LINEAGE_KERNEL", "pallas")
+        anc_p = diverse_beam_search(step, mk_states(), b, ancestor_kv=True, **kw)
+        np.testing.assert_array_equal(np.asarray(base.seqs), np.asarray(anc_x.seqs))
+        np.testing.assert_array_equal(np.asarray(base.seqs), np.asarray(anc_p.seqs))
