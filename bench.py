@@ -560,15 +560,21 @@ def main():
         what = sys.argv[sys.argv.index("--only") + 1]
         deadline = time.perf_counter() + budget_s
         if what == "core224":
-            # default: the measured steady-state-best batch only (32 — device
-            # time grows super-linearly with batch via KV-cache traffic; sweep
-            # with BENCH_BATCHES_224=32,64,128 when exploring)
+            # default: the measured steady-state-best batch only (sweep with
+            # BENCH_BATCHES_224=32,64,128 when exploring). Under reorder-mode
+            # caches the optimum was sharply 32 (device time grew
+            # super-linearly with batch via the 3-pass KV-cache traffic); the
+            # ancestor/Pallas serving default reads caches once, so the curve
+            # plateaus from 64 up (measured 473/487/499/492/501 r/s at
+            # 32/48/64/96/128) — 64 takes the plateau at half of 128's batch
+            # latency. 384 peaks at 48 (299/305/273 at 32/48/64: the encoder
+            # share grows with batch).
             bench_decode(224, [int(x) for x in
-                               os.environ.get("BENCH_BATCHES_224", "32").split(",")],
+                               os.environ.get("BENCH_BATCHES_224", "64").split(",")],
                          iters, deadline=deadline)
         elif what == "core384":
             bench_decode(384, [int(x) for x in
-                               os.environ.get("BENCH_BATCHES_384", "32").split(",")],
+                               os.environ.get("BENCH_BATCHES_384", "48").split(",")],
                          iters, deadline=deadline)
         elif what == "train":
             bench_train(224, train_batch, iters)

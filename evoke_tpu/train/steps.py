@@ -111,7 +111,13 @@ def resolve_beam_kv(decode_cfg, serving: bool) -> str:
     steady-state, v5e-1 batch 32 beam 3, DESIGN 5f). Eval paths stay on
     reorder for bit-comparable outputs across backends (bf16 near-tie beams
     round differently under the kernel's f32 score accumulation), and the
-    int8 cache path keeps reorder (the kernel reads bf16/f32 caches)."""
+    int8 cache path keeps reorder (the kernel reads bf16/f32 caches).
+
+    Mesh-sharded generation (parallel/ tests, dryrun_multichip) constructs
+    its step with serving=False and so keeps reorder: a pallas_call under
+    GSPMD needs an explicit shard_map partitioning, which the single-chip
+    serving surface (serve.py, bench.py) does not have or need. Multi-chip
+    serving deployments should set beam_kv explicitly per their sharding."""
     beam_kv = str(getattr(decode_cfg, "beam_kv", "auto"))
     if beam_kv not in ("auto", "reorder", "ancestor"):
         raise ValueError(f"beam_kv must be auto|reorder|ancestor, got {beam_kv!r}")
