@@ -230,7 +230,9 @@ def bench_decode(image_size, batch_sizes, iters, deadline=None):
 
     model = _flagship(vocab_size=VOCAB)
     rng = np.random.default_rng(0)
-    phases = int(os.environ.get("BENCH_CACHE_PHASES", 4))
+    # phased-growth sweep under the ancestor serving default (224 b64):
+    # 471/471/501/547/522/538/504 r/s at phases 1/2/4/8/10/12/16 — 8 peaks
+    phases = int(os.environ.get("BENCH_CACHE_PHASES", 8))
     cfg = DecodeConfig(beam_size=3, cache_phases=phases)
     beam_kv = resolve_beam_kv(cfg, serving=True)  # ancestor+Pallas on TPU
     gen = make_generate_step(model, _Tok(), cfg, GEN_LEN, with_indication=True,

@@ -105,8 +105,9 @@ class DecodeConfig:
     # (flagship @224, batch 32, beam 3): 436 -> 466 (2) -> 480 r/s (4).
     # 0 = auto: 1 on the test/eval path (differently-compiled segments round
     # differently on TPU bf16, flipping a few near-tie beams — eval outputs
-    # stay bit-comparable across runs and to the reference), 4 on the serving
-    # path (throughput; make_generate_step(serving=True)).
+    # stay bit-comparable across runs and to the reference), 8 on the serving
+    # path (throughput; make_generate_step(serving=True) — re-swept under the
+    # ancestor/Pallas serving default, train/steps.py).
     cache_phases: int = 0
     # Beam KV-cache bookkeeping: "reorder" gathers every [N, L, D] cache by
     # beam index each step (read+write); "ancestor" keeps caches un-permuted

@@ -144,7 +144,12 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
     suppress = (tokenizer.unk_id,) if decode_cfg.suppress_unk else ()
     phases = int(getattr(decode_cfg, "cache_phases", 0))
     if phases <= 0:
-        phases = 4 if serving else 1
+        # serving auto: 8-phase cache growth. Re-swept after the lineage
+        # kernel moved the serving config (DESIGN 5f): at 224 batch 64 the
+        # curve is 471/471/501/547/522/538/504 r/s for phases
+        # 1/2/4/8/10/12/16 — 8 is the sharp peak; at 384 batch 48 it is
+        # neutral-to-slightly-better than 4 in the interleaved sweep.
+        phases = 8 if serving else 1
     kv_dtype = str(getattr(decode_cfg, "kv_cache_dtype", "") or "")
     ancestor_kv = resolve_beam_kv(decode_cfg, serving) == "ancestor"
     init_extra = (kv_dtype,) if kv_dtype else ()
