@@ -82,3 +82,15 @@ class TestReportServer:
         records1 = server1.serve(loader, with_indication=False)
         assert [r["id"] for r in records1] == [r["id"] for r in records]
         assert [r["report"] for r in records1] == [r["report"] for r in records]
+
+        # dp-sharded serving (ReportServer mesh= -> shard_batch in
+        # device_prefetch) must produce the identical records: batches shard
+        # over the dp axis, params replicate, GSPMD inserts the collectives
+        from evoke_tpu.core.mesh import MeshSpec, create_mesh
+
+        mesh = create_mesh(MeshSpec(dp=2))
+        server_dp = ReportServer(model, tok, state, DecodeConfig(beam_size=2),
+                                 max_seq_len=16, depth=2, mesh=mesh)
+        records_dp = server_dp.serve(loader, with_indication=False)
+        assert [r["id"] for r in records_dp] == [r["id"] for r in records]
+        assert [r["report"] for r in records_dp] == [r["report"] for r in records]
