@@ -375,7 +375,37 @@ def _encoder_time(model, variables, state, batch, n_anchor, iters) -> float:
     return (time.perf_counter() - t0) / n_calls
 
 
-def bench_train(image_size, batch, iters):
+def analytic_train_flops(variables, model, image_size, n_anchor, n_images,
+                         seq_len, vocab):
+    """Analytic FLOPs for ONE finetune train step (fwd + bwd ~= 3x forward).
+
+    Reuses the decode model's parameter grouping; the teacher-forced decoder
+    runs all seq_len positions at once (causal self-attn ~T^2/2 dots)."""
+    ana = analytic_decode_model(variables, model, image_size, n_images,
+                                n_anchor, 1, 0, (seq_len,), vocab)
+    g = ana["groups"]
+    P = (image_size // 32) ** 2
+    d = model.d_model
+    B = n_anchor
+    T_anchor = B * (1 + P)
+    T_all = n_images * (1 + P)
+    fwd = 2 * 7.80e9 * (image_size / 224.0) ** 2 * n_images
+    fwd += 2 * g["fusion_qo"] * T_anchor + 2 * g["fusion_kv"] * T_all
+    dh_total = (model.fusion_num_heads * model.d_vf if model.fusion_wide_qkv
+                else model.d_vf)
+    mp = getattr(model, "fusion_max_partners", None)
+    keys = (1 + mp) * (1 + P) if mp else T_all
+    fwd += 4 * T_anchor * keys * dh_total
+    fwd += 2 * (g["heads"] + g["coattn"]) * T_anchor
+    fwd += 2 * g["text_encoder"] * B * seq_len
+    fwd += 2 * g["dec_encoder"] * B * P
+    fwd += 2 * (g["dec_step"] + g["dec_step_bf16"]) * B * seq_len
+    fwd += 2 * B * d * seq_len * seq_len      # causal self-attn dots (~T^2/2 x4)
+    fwd += 4 * B * seq_len * P * d            # cross-attn dots
+    return 3.0 * fwd
+
+
+def bench_train(image_size, batches, iters, deadline=None):
     import jax
 
     from evoke_tpu.core import prng
@@ -385,25 +415,43 @@ def bench_train(image_size, batch, iters):
 
     model = _flagship(vocab_size=VOCAB)
     rng = np.random.default_rng(0)
-    data = _example_batch(rng, batch, batch, image_size, GEN_LEN, VOCAB)
-    variables = jax.jit(lambda k: model.init(
-        k, data["images"], data["ids"], data["mask"], data["pids"], data["valid"],
-        data["inc_ids"], data["inc_mask"], method=model.warmup))(jax.random.key(0))
-    tx = build_optimizer("RAdam", "finetune", variables["params"],
-                         pt_lr=5e-6, ft_lr=5e-5, weight_decay=1e-4)
-    state = create_train_state(variables, tx)
-    step = make_train_step(model, tx, prng.root_key(0), with_indication=True)
-    data = jax.device_put(data)
-    state, _ = step(state, data)  # compile + warmup (donated: state is consumed)
+    best = None
+    for batch in batches:
+        if best is not None and deadline is not None and time.perf_counter() > deadline:
+            print(f"# train batch {batch} skipped: budget spent", file=sys.stderr)
+            continue
+        data = _example_batch(rng, batch, batch, image_size, GEN_LEN, VOCAB)
+        try:
+            variables = jax.jit(lambda k, d=data: model.init(
+                k, d["images"], d["ids"], d["mask"], d["pids"], d["valid"],
+                d["inc_ids"], d["inc_mask"], method=model.warmup))(jax.random.key(0))
+            flops = analytic_train_flops(variables, model, image_size, batch,
+                                         2 * batch, GEN_LEN, VOCAB)
+            tx = build_optimizer("RAdam", "finetune", variables["params"],
+                                 pt_lr=5e-6, ft_lr=5e-5, weight_decay=1e-4)
+            state = create_train_state(variables, tx)
+            step = make_train_step(model, tx, prng.root_key(0), with_indication=True)
+            data = jax.device_put(data)
+            state, _ = step(state, data)  # compile + warmup (donated: state consumed)
 
-    def one():
-        nonlocal state
-        state, m = step(state, data)
-        jax.block_until_ready(m)
+            def one():
+                nonlocal state
+                state, m = step(state, data)
+                jax.block_until_ready(m)
 
-    p50 = _p50(one, iters)
-    _emit(f"train studies/sec/chip @ {image_size}px (bf16, batch {batch}+{batch} views, "
-          f"p50 step {p50 * 1e3:.1f} ms)", batch / p50, "studies/s")
+            p50 = _p50(one, iters)
+        except Exception as e:  # OOM at large batch: skip, keep smaller configs
+            print(f"# train {image_size}px batch {batch} skipped: {type(e).__name__}",
+                  file=sys.stderr)
+            continue
+        mfu = flops / p50 / PEAK_FLOPS
+        rate = batch / p50
+        _emit(f"train studies/sec/chip @ {image_size}px (bf16, batch {batch}+{batch} "
+              f"views, p50 step {p50 * 1e3:.1f} ms, analytic MFU {mfu * 100:.1f}%)",
+              rate, "studies/s")
+        if best is None or rate > best["rate"]:
+            best = dict(batch=batch, rate=rate, mfu=mfu)
+    return best
 
 
 def bench_pipeline(image_size, batch, steps):
@@ -579,7 +627,10 @@ def main():
                                os.environ.get("BENCH_BATCHES_384", "48").split(",")],
                          iters, deadline=deadline)
         elif what == "train":
-            bench_train(224, train_batch, iters)
+            bench_train(224, [int(x) for x in
+                              os.environ.get("BENCH_TRAIN_BATCHES",
+                                             str(train_batch)).split(",")],
+                        iters, deadline=deadline)
         else:
             raise SystemExit(f"unknown --only {what}")
         return

@@ -10,7 +10,8 @@ import pytest
 
 sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
 
-from bench import _steps_executed, analytic_decode_model  # noqa: E402
+from bench import (_steps_executed, analytic_decode_model,  # noqa: E402
+                   analytic_train_flops)
 
 
 class TestStepsExecuted:
@@ -75,3 +76,21 @@ class TestAnalyticModel:
         hi = analytic_decode_model(variables, model, 64, 4, 2, 3,
                                    steps=8, schedule=(16,), vocab=vocab)
         assert hi["flops_enc"] > lo["flops_enc"]
+
+
+class TestAnalyticTrainFlops:
+    def test_scales_with_batch_and_exceeds_forward(self, tiny_setup):
+        model, variables, vocab = tiny_setup
+        small = analytic_train_flops(variables, model, 32, 2, 4, 16, vocab)
+        big = analytic_train_flops(variables, model, 32, 4, 8, 16, vocab)
+        assert 0 < small < big
+        # train (fwd+bwd) must exceed the decode call's one-shot encoder FLOPs
+        enc = analytic_decode_model(variables, model, 32, 4, 2, 3,
+                                    steps=16, schedule=(16,), vocab=vocab)
+        assert small > enc["flops_enc"]
+
+    def test_seq_len_term_matters(self, tiny_setup):
+        model, variables, vocab = tiny_setup
+        short = analytic_train_flops(variables, model, 32, 2, 4, 8, vocab)
+        long = analytic_train_flops(variables, model, 32, 2, 4, 16, vocab)
+        assert long > short
