@@ -60,10 +60,20 @@ def summarize_trace(outdir: str, loop_threshold: int = 8) -> Dict[str, object]:
         raise FileNotFoundError(f"no *.trace.json.gz under {outdir}")
     with gzip.open(f, "rt") as fh:
         data = json.load(fh)
+    # drop whole-step markers: the runtime emits one event per step (named by
+    # its step number) on a "Steps" thread whose duration spans every op — it
+    # would double-count the entire program as one giant "one-shot op"
+    step_threads = {
+        (e.get("pid"), e.get("tid"))
+        for e in data.get("traceEvents", [])
+        if e.get("ph") == "M" and e.get("name") == "thread_name"
+        and "Steps" in str(e.get("args", {}).get("name", ""))}
     agg: collections.Counter = collections.Counter()
     cnt: collections.Counter = collections.Counter()
     for e in data.get("traceEvents", []):
         if e.get("ph") != "X":
+            continue
+        if (e.get("pid"), e.get("tid")) in step_threads:
             continue
         name = e.get("name", "")
         agg[name] += e.get("dur", 0)
@@ -90,6 +100,9 @@ def summarize_trace(outdir: str, loop_threshold: int = 8) -> Dict[str, object]:
     by_type: collections.Counter = collections.Counter()
     for r in loop_ops:
         by_type[r["type"]] += r["total_us"]
+    oneshot_by_type: collections.Counter = collections.Counter()
+    for r in oneshot:
+        oneshot_by_type[r["type"]] += r["total_us"]
     return {
         "trace_file": f,
         "loop_ops": loop_ops,
@@ -97,6 +110,7 @@ def summarize_trace(outdir: str, loop_threshold: int = 8) -> Dict[str, object]:
         "loop_total_us": sum(r["total_us"] for r in loop_ops),
         "oneshot_total_us": sum(r["total_us"] for r in oneshot),
         "loop_by_type_us": dict(by_type.most_common()),
+        "oneshot_by_type_us": dict(oneshot_by_type.most_common()),
     }
 
 
@@ -108,6 +122,9 @@ def format_summary(report: Dict[str, object], top: int = 12) -> str:
         "loop time by op type:",
     ]
     for typ, us in list(report["loop_by_type_us"].items())[:top]:
+        lines.append(f"  {us / 1e3:8.2f} ms  {typ}")
+    lines.append("one-shot time by op type:")
+    for typ, us in list(report.get("oneshot_by_type_us", {}).items())[:top]:
         lines.append(f"  {us / 1e3:8.2f} ms  {typ}")
     lines.append("hottest one-shot (encoder/epilogue) ops:")
     for r in report["oneshot_ops"][:top]:
