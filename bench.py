@@ -413,7 +413,8 @@ def bench_train(image_size, batches, iters, deadline=None):
     from evoke_tpu.train.steps import create_train_state, make_train_step
     from __graft_entry__ import _example_batch, _flagship
 
-    model = _flagship(vocab_size=VOCAB)
+    remat = os.environ.get("BENCH_TRAIN_REMAT", "0") == "1"
+    model = _flagship(vocab_size=VOCAB, remat_visual=remat)
     rng = np.random.default_rng(0)
     best = None
     for batch in batches:
@@ -446,8 +447,9 @@ def bench_train(image_size, batches, iters, deadline=None):
             continue
         mfu = flops / p50 / PEAK_FLOPS
         rate = batch / p50
+        tag = ", remat" if remat else ""
         _emit(f"train studies/sec/chip @ {image_size}px (bf16, batch {batch}+{batch} "
-              f"views, p50 step {p50 * 1e3:.1f} ms, analytic MFU {mfu * 100:.1f}%)",
+              f"views{tag}, p50 step {p50 * 1e3:.1f} ms, analytic MFU {mfu * 100:.1f}%)",
               rate, "studies/s")
         if best is None or rate > best["rate"]:
             best = dict(batch=batch, rate=rate, mfu=mfu)
@@ -603,7 +605,10 @@ def main():
         return
 
     iters = int(os.environ.get("BENCH_ITERS", 4))
-    train_batch = int(os.environ.get("BENCH_TRAIN_ANCHORS", 32))
+    # measured train sweep @224 (v5e-1, same-process, this code): 96/222/253
+    # studies/s at batch 32/48/64; 96+96 OOMs without remat and is slower
+    # (233 r/s) with it — 64 is the step-throughput optimum
+    train_batch = int(os.environ.get("BENCH_TRAIN_ANCHORS", 64))
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 330))
 
     if "--only" in sys.argv:  # child mode, in-process

@@ -33,6 +33,7 @@ def build_model(cfg, vocab_size: int, task: str):
         proj_num_heads=cfg.model.proj_num_heads,
         fusion_wide_qkv=cfg.model.fusion_wide_qkv,
         fusion_max_partners=cfg.model.fusion_max_partners,
+        remat_visual=cfg.model.remat_visual,
         is_multiview_learning=cfg.model.is_multiview_learning, dtype=dtype)
     if task == "pretrain":
         return PretrainModel(instance_temp=cfg.loss.instance_temp,

@@ -74,6 +74,10 @@ class ModelConfig:
     # dedup in practice; measured at 384 this is the difference between the
     # encoder attending 9280 vs 580 keys per anchor.
     fusion_max_partners: Optional[int] = None
+    # jax.checkpoint the ResNet bottlenecks: backward recomputes block
+    # activations instead of storing them (same math), lifting the
+    # train-batch memory ceiling (96+96 @224 OOMs a v5e-1 without it)
+    remat_visual: bool = False
 
     # multiview learning / indication fusion switches
     is_multiview_learning: bool = True

@@ -61,6 +61,9 @@ class FinetuneModel(nn.Module):
     cmm_size: int = 2048
     cmm_dim: int = 512
     cmn_topk: int = 32
+    # jax.checkpoint the ResNet bottlenecks (same math; backward recomputes
+    # block activations — lifts the train-batch memory ceiling)
+    remat_visual: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -68,7 +71,8 @@ class FinetuneModel(nn.Module):
             from evoke_tpu.models.vit import ViTExtractor
             self.visual_extractor = ViTExtractor(d_vf=self.d_vf, dtype=self.dtype)
         else:
-            self.visual_extractor = VisualExtractor(dtype=self.dtype)
+            self.visual_extractor = VisualExtractor(dtype=self.dtype,
+                                                    remat=self.remat_visual)
         self.text_encoder = TextEncoder(
             self.vocab_size, self.encoder_hidden_size, self.encoder_num_layers,
             self.encoder_num_heads, self.encoder_intermediate_size, dtype=self.dtype)

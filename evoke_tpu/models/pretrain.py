@@ -49,10 +49,14 @@ class PretrainModel(nn.Module):
     # averaged-positive-logit formulation (v0425_ori.py:573,665)
     mul_pos_formulation: str = "soft"
     mask_local_pad: bool = True
+    # jax.checkpoint the ResNet bottlenecks (same math; backward recomputes
+    # block activations — lifts the train-batch memory ceiling)
+    remat_visual: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.visual_extractor = VisualExtractor(dtype=self.dtype)
+        self.visual_extractor = VisualExtractor(dtype=self.dtype,
+                                                remat=self.remat_visual)
         self.text_encoder = TextEncoder(
             self.vocab_size, self.encoder_hidden_size, self.encoder_num_layers,
             self.encoder_num_heads, self.encoder_intermediate_size, dtype=self.dtype)

@@ -53,6 +53,11 @@ class ResNet101(nn.Module):
 
     stage_sizes: Sequence[int] = (3, 4, 23, 3)
     dtype: Dtype = jnp.float32
+    # jax.checkpoint each Bottleneck: backward recomputes block activations
+    # instead of keeping them alive — the activations are the train-step
+    # memory ceiling (batch 96+96 @224 OOMs a v5e-1 without this), the
+    # recompute is cheap conv FLOPs. Same math, same param tree.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -62,12 +67,16 @@ class ResNet101(nn.Module):
                          dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        # static_argnums=(2,): `train` (arg 2 after self, x) drives Python
+        # control flow (BatchNorm mode) and must stay concrete under remat
+        block_cls = (nn.remat(Bottleneck, static_argnums=(2,)) if self.remat
+                     else Bottleneck)
         for stage, n_blocks in enumerate(self.stage_sizes):
             features = 64 * (2 ** stage)
             for i in range(n_blocks):
                 stride = 2 if (stage > 0 and i == 0) else 1
-                x = Bottleneck(features, stride=stride, project=(i == 0), dtype=self.dtype,
-                               name=f"layer{stage + 1}_{i}")(x, train=train)
+                x = block_cls(features, stride=stride, project=(i == 0), dtype=self.dtype,
+                              name=f"layer{stage + 1}_{i}")(x, train)
         return x
 
 
@@ -75,9 +84,10 @@ class VisualExtractor(nn.Module):
     """ResNet-101 -> (patch_feats [B, N, 2048], avg_feats [B, 2048])."""
 
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
-        self.backbone = ResNet101(dtype=self.dtype)
+        self.backbone = ResNet101(dtype=self.dtype, remat=self.remat)
 
     def __call__(self, images, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         feats = self.backbone(images, train=train)

@@ -62,6 +62,28 @@ class TestVisualExtractor:
         # torchvision resnet101 minus fc: ~42.5M
         assert 42e6 < n < 43.5e6, n
 
+    def test_remat_same_math_same_tree(self, rng):
+        """remat=True: identical params tree, forward, grads, batch_stats."""
+        imgs = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+        plain, remat = VisualExtractor(), VisualExtractor(remat=True)
+        variables = plain.init(KEY, imgs)
+        assert (jax.tree_util.tree_structure(remat.init(KEY, imgs))
+                == jax.tree_util.tree_structure(variables))
+
+        def loss(params, mod):
+            (p, _), stats = mod.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                imgs, train=True, mutable=["batch_stats"])
+            return (p ** 2).mean(), stats["batch_stats"]
+
+        (l0, s0), g0 = jax.value_and_grad(loss, has_aux=True)(variables["params"], plain)
+        (l1, s1), g1 = jax.value_and_grad(loss, has_aux=True)(variables["params"], remat)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(s0), jax.tree_util.tree_leaves(s1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
 
 class TestTextEncoder:
     def test_shapes_and_mask(self, rng):
