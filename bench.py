@@ -632,9 +632,10 @@ def main():
                                os.environ.get("BENCH_BATCHES_384", "48").split(",")],
                          iters, deadline=deadline)
         elif what == "train":
-            bench_train(224, [int(x) for x in
-                              os.environ.get("BENCH_TRAIN_BATCHES",
-                                             str(train_batch)).split(",")],
+            bench_train(int(os.environ.get("BENCH_TRAIN_IMAGE_SIZE", 224)),
+                        [int(x) for x in
+                         os.environ.get("BENCH_TRAIN_BATCHES",
+                                        str(train_batch)).split(",")],
                         iters, deadline=deadline)
         else:
             raise SystemExit(f"unknown --only {what}")

@@ -100,7 +100,8 @@ def init_finetune_state(cfg, model, loaders):
     tx = build_optimizer(cfg.optim.optim, "finetune", variables["params"],
                          pt_lr=cfg.optim.pt_lr, ft_lr=cfg.optim.ft_lr,
                          weight_decay=cfg.optim.weight_decay,
-                         grad_clip_value=cfg.optim.grad_clip_value)
+                         grad_clip_value=cfg.optim.grad_clip_value,
+                         grad_accum_steps=cfg.optim.grad_accum_steps)
     return create_train_state(variables, tx), tx
 
 
@@ -116,7 +117,8 @@ def init_pretrain_state(cfg, model, loaders):
     tx = build_optimizer(cfg.optim.optim, "pretrain", variables["params"],
                          pt_lr=cfg.optim.pt_lr, ft_lr=cfg.optim.ft_lr,
                          weight_decay=cfg.optim.weight_decay,
-                         grad_clip_value=cfg.optim.grad_clip_value)
+                         grad_clip_value=cfg.optim.grad_clip_value,
+                         grad_accum_steps=cfg.optim.grad_accum_steps)
     return create_train_state(variables, tx), tx
 
 

@@ -180,6 +180,10 @@ class OptimConfig:
     step_size: int = 10
     gamma: float = 0.5
     grad_clip_value: float = 0.1                 # clip-by-value (reference: clip_grad_value_(0.1))
+    # >1: average gradients over k micro-batches on device (optax.MultiSteps)
+    # and apply the two-group update every k-th step — k x the effective
+    # batch at the same memory, costing one grads-sized accumulator
+    grad_accum_steps: int = 1
 
 
 @dataclass

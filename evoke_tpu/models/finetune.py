@@ -61,6 +61,8 @@ class FinetuneModel(nn.Module):
     cmm_size: int = 2048
     cmm_dim: int = 512
     cmn_topk: int = 32
+    # SciBERT-style encoder dropout (HF hidden/attention dropout default)
+    encoder_dropout: float = 0.1
     # jax.checkpoint the ResNet bottlenecks (same math; backward recomputes
     # block activations — lifts the train-batch memory ceiling)
     remat_visual: bool = False
@@ -75,7 +77,8 @@ class FinetuneModel(nn.Module):
                                                     remat=self.remat_visual)
         self.text_encoder = TextEncoder(
             self.vocab_size, self.encoder_hidden_size, self.encoder_num_layers,
-            self.encoder_num_heads, self.encoder_intermediate_size, dtype=self.dtype)
+            self.encoder_num_heads, self.encoder_intermediate_size,
+            dropout_rate=self.encoder_dropout, dtype=self.dtype)
         # finetune heads end WITH the affine-free BN (utils_v0511.py:171-209)
         self.visual_head = ProjectionHead(self.output_dim, self.output_dim,
                                           final_bn=True, dtype=self.dtype)

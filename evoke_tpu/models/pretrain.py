@@ -49,6 +49,8 @@ class PretrainModel(nn.Module):
     # averaged-positive-logit formulation (v0425_ori.py:573,665)
     mul_pos_formulation: str = "soft"
     mask_local_pad: bool = True
+    # SciBERT-style encoder dropout (HF hidden/attention dropout default)
+    encoder_dropout: float = 0.1
     # jax.checkpoint the ResNet bottlenecks (same math; backward recomputes
     # block activations — lifts the train-batch memory ceiling)
     remat_visual: bool = False
@@ -59,7 +61,8 @@ class PretrainModel(nn.Module):
                                                 remat=self.remat_visual)
         self.text_encoder = TextEncoder(
             self.vocab_size, self.encoder_hidden_size, self.encoder_num_layers,
-            self.encoder_num_heads, self.encoder_intermediate_size, dtype=self.dtype)
+            self.encoder_num_heads, self.encoder_intermediate_size,
+            dropout_rate=self.encoder_dropout, dtype=self.dtype)
         # pretrain heads end WITHOUT the affine-free BN (utils_v0511.py:131-168)
         self.visual_head = ProjectionHead(self.output_dim, self.output_dim,
                                           final_bn=False, dtype=self.dtype)

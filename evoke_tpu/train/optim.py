@@ -42,8 +42,16 @@ def _scaler(optim_name: str):
 
 
 def build_optimizer(optim_name: str, task: str, params, pt_lr: float, ft_lr: float,
-                    weight_decay: float, grad_clip_value: float = 0.1):
-    """Returns an optax GradientTransformation with injectable lr_scale."""
+                    weight_decay: float, grad_clip_value: float = 0.1,
+                    grad_accum_steps: int = 1):
+    """Returns an optax GradientTransformation with injectable lr_scale.
+
+    grad_accum_steps > 1 wraps the whole chain in optax.MultiSteps: the train
+    step is called per micro-batch, gradients are averaged on device, and the
+    update (incl. clip — applied to the AVERAGED gradient, matching a
+    single large-batch step, not per-micro-batch) fires every k-th call with
+    zero updates in between. Costs one grads-sized f32 accumulator buffer.
+    """
 
     @optax.inject_hyperparams
     def make(lr_scale):
@@ -61,12 +69,18 @@ def build_optimizer(optim_name: str, task: str, params, pt_lr: float, ft_lr: flo
             return optax.multi_transform({"pt": group(pt_lr), "ft": group(ft_lr)}, labels)
         return group(pt_lr)
 
-    return make(lr_scale=1.0)
+    tx = make(lr_scale=1.0)
+    if grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps
+                              ).gradient_transformation()
+    return tx
 
 
 def set_lr_scale(opt_state, scale: float):
-    """Update the injected lr_scale in an inject_hyperparams state."""
-    opt_state.hyperparams["lr_scale"] = jax.numpy.asarray(scale, dtype=jax.numpy.float32)
+    """Update the injected lr_scale in an inject_hyperparams state (reaching
+    through a MultiSteps wrapper when grad accumulation is on)."""
+    inner = getattr(opt_state, "inner_opt_state", opt_state)
+    inner.hyperparams["lr_scale"] = jax.numpy.asarray(scale, dtype=jax.numpy.float32)
     return opt_state
 
 

@@ -120,6 +120,72 @@ class TestFinetuneTraining:
         assert not np.allclose(before_td, after_td)
 
 
+class TestGradAccumulation:
+    def test_k2_identical_grads_equal_one_full_step_optax_level(self):
+        """MultiSteps(k=2) fed the SAME gradient twice == one k=1 step on it
+        (averaged grad == the grad), bit-exact through the whole two-group
+        RAdam chain. Optimizer-level on purpose: at the model level each
+        micro-step draws a fresh dropout key (the reference's fusion/RM MHA
+        dropout defaults are live in train), so per-micro-batch grads differ
+        BY DESIGN and exact lane equality only holds below the model."""
+        rng = np.random.default_rng(0)
+        params = {"text_decoder": {"w": jnp.asarray(rng.normal(size=(8, 8)), jnp.float32)},
+                  "backbone": {"b": jnp.asarray(rng.normal(size=(16,)), jnp.float32)}}
+        g = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape), jnp.float32), params)
+        kw = dict(pt_lr=1e-3, ft_lr=2e-3, weight_decay=1e-4, grad_clip_value=10.0)
+        tx1 = build_optimizer("RAdam", "finetune", params, **kw)
+        tx2 = build_optimizer("RAdam", "finetune", params, grad_accum_steps=2, **kw)
+        s1, s2 = tx1.init(params), tx2.init(params)
+        u_mid, s2 = tx2.update(g, s2, params)
+        for leaf in jax.tree_util.tree_leaves(u_mid):  # micro-step: zero update
+            np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+        u2, s2 = tx2.update(g, s2, params)
+        v1, s1 = tx1.update(g, s1, params)
+        for a, b in zip(jax.tree_util.tree_leaves(u2), jax.tree_util.tree_leaves(v1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_microsteps_freeze_params_until_kth(self, tok, batch):
+        """Model-level: micro-steps 1..k-1 leave params bit-untouched; the
+        k-th fires a real update."""
+        model = FinetuneModel(vocab_size=tok.get_vocab_size(), max_seq_len=16,
+                              **DEC, **SMALL)
+        variables = jax.jit(model.init)(KEY, batch["images"], batch["ids"],
+                                        batch["mask"], batch["pids"], batch["valid"])
+        tx = build_optimizer("RAdam", "finetune", variables["params"], pt_lr=1e-3,
+                             ft_lr=2e-3, weight_decay=1e-4, grad_clip_value=10.0,
+                             grad_accum_steps=2)
+        state = create_train_state(variables, tx)
+        step = make_train_step(model, tx, prng.root_key(0))
+
+        p0 = jax.device_get(state.params)
+        state, _ = step(state, batch)  # micro-step 1: accumulate only
+        mid = jax.device_get(state.params)
+        for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(mid)):
+            np.testing.assert_array_equal(a, b)
+        state, _ = step(state, batch)  # micro-step 2: averaged update fires
+        end = jax.device_get(state.params)
+        moved = any(
+            np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+            for a, b in zip(jax.tree_util.tree_leaves(mid),
+                            jax.tree_util.tree_leaves(end)))
+        assert moved, "k-th micro-step applied no update"
+
+    def test_set_lr_scale_reaches_through_multisteps(self, tok, batch):
+        from evoke_tpu.train.optim import set_lr_scale
+
+        model = FinetuneModel(vocab_size=tok.get_vocab_size(), max_seq_len=16,
+                              **DEC, **SMALL)
+        variables = jax.jit(model.init)(KEY, batch["images"], batch["ids"],
+                                        batch["mask"], batch["pids"], batch["valid"])
+        tx = build_optimizer("RAdam", "finetune", variables["params"], pt_lr=1e-3,
+                             ft_lr=1e-3, weight_decay=0.0, grad_accum_steps=3)
+        state = create_train_state(variables, tx)
+        state = state.replace(opt_state=set_lr_scale(state.opt_state, 0.25))
+        inner = state.opt_state.inner_opt_state
+        assert float(inner.hyperparams["lr_scale"]) == 0.25
+
+
 class TestPretrainTraining:
     def test_loss_decreases(self, tok, batch):
         model = PretrainModel(vocab_size=tok.get_vocab_size(), **SMALL)
