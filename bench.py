@@ -249,9 +249,17 @@ def bench_decode(image_size, batch_sizes, iters, deadline=None):
             continue
         batch = _example_batch(rng, b, b, image_size, GEN_LEN, VOCAB)
         if variables is None:
-            variables = jax.jit(model.init)(
-                jax.random.key(0), batch["images"], batch["ids"], batch["mask"],
-                batch["pids"], batch["valid"], batch["inc_ids"], batch["inc_mask"])
+            # warmup init = the CANONICAL param tree (traces both indication
+            # branches, so it carries the no-indication visual_self_atten
+            # params the plain indication forward never creates). Decode
+            # ignores the extras (flax tolerates unused params; XLA DCEs
+            # them), and the train tail that shares this tree then hits the
+            # SAME compile-cache entries as the standalone train family —
+            # a default-__call__ init here changed the opt_state pytree and
+            # forced a cold multi-minute train-step compile in the child.
+            variables = jax.jit(lambda k, d=batch: model.init(
+                k, d["images"], d["ids"], d["mask"], d["pids"], d["valid"],
+                d["inc_ids"], d["inc_mask"], method=model.warmup))(jax.random.key(0))
         state = TrainState(step=0, params=variables["params"],
                            batch_stats=variables.get("batch_stats", {}), opt_state=None)
         # device-resident inputs: steady-state serving rate (host->device overlap
@@ -341,7 +349,7 @@ def bench_decode(image_size, batch_sizes, iters, deadline=None):
                    study_p50_ms=study_p50 * 1e3, hbm_util=hbm_util, mfu=mfu)
         if best is None or steady > best["steady_rps"]:
             best = row
-    return best
+    return best, model, variables
 
 
 def _encoder_time(model, variables, state, batch, n_anchor, iters) -> float:
@@ -405,7 +413,11 @@ def analytic_train_flops(variables, model, image_size, n_anchor, n_images,
     return 3.0 * fwd
 
 
-def bench_train(image_size, batches, iters, deadline=None):
+def bench_train(image_size, batches, iters, deadline=None, model=None,
+                init_variables=None):
+    """model/init_variables: reuse an already-initialized parameter tree (the
+    core224 child passes its decode init) — the jitted 300M-param init through
+    the tunnel is the train family's dominant fixed cost."""
     import jax
 
     from evoke_tpu.core import prng
@@ -414,7 +426,8 @@ def bench_train(image_size, batches, iters, deadline=None):
     from __graft_entry__ import _example_batch, _flagship
 
     remat = os.environ.get("BENCH_TRAIN_REMAT", "0") == "1"
-    model = _flagship(vocab_size=VOCAB, remat_visual=remat)
+    if model is None:
+        model = _flagship(vocab_size=VOCAB, remat_visual=remat)
     rng = np.random.default_rng(0)
     best = None
     for batch in batches:
@@ -423,9 +436,11 @@ def bench_train(image_size, batches, iters, deadline=None):
             continue
         data = _example_batch(rng, batch, batch, image_size, GEN_LEN, VOCAB)
         try:
-            variables = jax.jit(lambda k, d=data: model.init(
-                k, d["images"], d["ids"], d["mask"], d["pids"], d["valid"],
-                d["inc_ids"], d["inc_mask"], method=model.warmup))(jax.random.key(0))
+            variables = init_variables if init_variables is not None else (
+                jax.jit(lambda k, d=data: model.init(
+                    k, d["images"], d["ids"], d["mask"], d["pids"], d["valid"],
+                    d["inc_ids"], d["inc_mask"], method=model.warmup))(jax.random.key(0)))
+            init_variables = None  # the donated train step consumes these buffers
             flops = analytic_train_flops(variables, model, image_size, batch,
                                          2 * batch, GEN_LEN, VOCAB)
             tx = build_optimizer("RAdam", "finetune", variables["params"],
@@ -614,7 +629,12 @@ def main():
     if "--only" in sys.argv:  # child mode, in-process
         what = sys.argv[sys.argv.index("--only") + 1]
         deadline = time.perf_counter() + budget_s
-        if what == "core224":
+        if what in ("core224", "core224+train"):
+            if what == "core224+train":
+                # partition the child budget: decode (and its OPTIONAL
+                # encoder-split timing, which respects the deadline) must
+                # leave the train tail its ~40s marginal cost
+                deadline = time.perf_counter() + 0.65 * budget_s
             # default: the measured steady-state-best batch only (sweep with
             # BENCH_BATCHES_224=32,64,128 when exploring). Under reorder-mode
             # caches the optimum was sharply 32 (device time grew
@@ -624,9 +644,18 @@ def main():
             # 32/48/64/96/128) — 64 takes the plateau at half of 128's batch
             # latency. 384 peaks at 48 (299/305/273 at 32/48/64: the encoder
             # share grows with batch).
-            bench_decode(224, [int(x) for x in
-                               os.environ.get("BENCH_BATCHES_224", "64").split(",")],
-                         iters, deadline=deadline)
+            out = bench_decode(224, [int(x) for x in
+                                     os.environ.get("BENCH_BATCHES_224", "64").split(",")],
+                               iters, deadline=deadline)
+            if what == "core224+train" and out[2] is not None:
+                # same model, same parameter tree: the train family rides the
+                # decode child's init instead of paying its own (~100s+ of
+                # tunnel fixed cost per interpreter, VERDICT r2 weak #1 redux).
+                # bench_train's deadline guard only applies after its first
+                # measurement, so the single train batch always runs.
+                _, model, variables = out
+                bench_train(224, [train_batch], iters, deadline=deadline,
+                            model=model, init_variables=variables)
         elif what == "core384":
             bench_decode(384, [int(x) for x in
                                os.environ.get("BENCH_BATCHES_384", "48").split(",")],
@@ -651,17 +680,40 @@ def main():
     import subprocess
 
     t_start = time.perf_counter()
-    families = (("core224", 0.40), ("core384", 0.35), ("train", 0.25))
+    # (name, budget share, minimum allocation). The train measurement rides
+    # in the 224 child: a standalone train interpreter pays ~160s WARM of
+    # batch-invariant fixed cost (python+jax imports, 300M-param jitted init
+    # and program loads through the tunnel) that the decode child has already
+    # paid — in round 2 (and in a round-3 rehearsal with a dedicated train
+    # family) that fixed cost starved the train number out of the budget.
+    # Sharing the init, the marginal train cost is ~30s (optimizer init +
+    # warmup + 4 steps).
+    # the 384 floor is its measured WARM fixed cost (imports + 384 init +
+    # program loads ~110-150s): without it, a slow first child leaves `left`
+    # too small and 384 dies before emitting anything
+    families = (("core224+train", 0.62, 30.0), ("core384", 0.38, 150.0))
 
     lines224 = []
+
+    def emit_headline():
+        # the driver parses the LAST JSON line: re-emit the current headline
+        # after every family so it stays last even if an outer kill lands
+        # mid-run (duplicates are harmless; coverage grows monotonically)
+        steady = [r for r in lines224 if r["metric"].startswith("steady-state")]
+        rates = [r for r in lines224 if r["unit"] == "reports/s"]
+        best = max(steady or rates, key=lambda r: r["value"])
+        desc = re.sub(r"^steady-state ", "", best["metric"])
+        _emit(desc + " [headline]", best["value"], "reports/s",
+              vs=best["value"] / BASELINE_RPS)
+
     carry = 0.0  # budget a previous family left unused rolls forward
-    for name, share in families:
+    for name, share, floor in families:
         elapsed = time.perf_counter() - t_start
         left = budget_s - elapsed
-        if name != "core224" and left < 30:
+        if name != families[0][0] and left < 30 and floor <= 30:
             print(f"# {name} skipped: budget spent", file=sys.stderr)
             continue
-        alloc = max(min(budget_s * share + carry, left), 30)
+        alloc = max(min(budget_s * share + carry, left), floor)
         t_family = time.perf_counter()
         child_env = dict(os.environ, BENCH_BUDGET_S=str(alloc))
         timeout = alloc + 90  # grace for interpreter + imports + compile cache
@@ -686,19 +738,14 @@ def main():
             except json.JSONDecodeError:
                 continue
             print(ln, flush=True)
-            if name == "core224":
+            if name.startswith("core224") and "@ 224px" in rec["metric"] \
+                    and rec["unit"] == "reports/s":
                 lines224.append(rec)
+        if lines224:
+            emit_headline()
         carry = max(alloc - (time.perf_counter() - t_family), 0.0)
     if not lines224:
         raise SystemExit("no 224 decode result produced — benchmark failed")
-    # headline LAST (the driver parses the final JSON line): the best 224
-    # rate, preferring the steady-state pipelined measurement
-    steady = [r for r in lines224 if r["metric"].startswith("steady-state")]
-    rates = [r for r in lines224 if r["unit"] == "reports/s"]
-    best = max(steady or rates, key=lambda r: r["value"])
-    desc = re.sub(r"^steady-state ", "", best["metric"])
-    _emit(desc + " [headline]", best["value"], "reports/s",
-          vs=best["value"] / BASELINE_RPS)
 
 
 if __name__ == "__main__":
