@@ -102,6 +102,80 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, anc_ref, out_ref, *, num_heads: int):
     out_ref[...] = jnp.concatenate(outs, axis=1).reshape(G, kbeam, D)
 
 
+def _kernel_fused_heads(pos_ref, q_ref, k_ref, v_ref, anc_ref, out_ref, *,
+                        num_heads: int):
+    """Same math as ``_kernel`` with ALL heads in one dot pair.
+
+    The per-head loop issues 2*num_heads tiny dots + num_heads softmax chains
+    per program (16 dots of [gk,64]x[64,gk*L] at the serving shape) — the
+    kernel's cost is op issues, not MXU time (§DESIGN 5i). Here the queries
+    are head-expanded into a block-diagonal [num_heads*gk, D] matrix (row
+    (h, r) holds q[r] restricted to head h's dh-lane slice, zero elsewhere),
+    so ONE [h*gk, D] x [D, gk*L] dot yields every head's scores — the zeroed
+    lanes contribute exact zeros to the f32 accumulation, so the scores are
+    identical to the per-head dots. One softmax over [h*gk, gk*L] replaces
+    num_heads chains, one [h*gk, gk*L] x [gk*L, D] dot yields per-head
+    contexts over the full D, and a masked sum over the head axis selects
+    each head's own dh-lane slice. MXU work grows num_heads-fold but is
+    negligible at these shapes; op issues drop ~10x."""
+    G, kbeam, L, D = k_ref.shape
+    gk = G * kbeam
+    dh = D // num_heads
+    pos = pos_ref[0, 0]
+
+    anc2 = anc_ref[...].reshape(gk, L)
+    qsamp = jax.lax.broadcasted_iota(jnp.int32, (G, kbeam, L), 0).reshape(gk, L)
+    qbeam = jax.lax.broadcasted_iota(jnp.int32, (G, kbeam, L), 1).reshape(gk, L)
+    tvec = jax.lax.broadcasted_iota(jnp.int32, (G, kbeam, L), 2).reshape(gk, L)
+    hist = tvec < pos
+    now = tvec == pos
+    pieces = []
+    for jj in range(gk):
+        g, j = divmod(jj, kbeam)
+        lineage = ((anc2 == j) & hist) | ((qbeam == j) & now)
+        pieces.append(jnp.where((qsamp == g) & lineage, 1.0, 0.0))
+    mask = jnp.concatenate(pieces, axis=1)                     # [gk, gk*L]
+
+    q = q_ref[...].reshape(gk, D)
+    k2 = k_ref[...].reshape(gk * L, D)
+    v2 = v_ref[...].reshape(gk * L, D)
+    # head-slice selector [h, 1, D]: lane c belongs to head h iff
+    # 0 <= c - h*dh < dh (no vector integer division)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (num_heads, 1, D), 2)
+    head = jax.lax.broadcasted_iota(jnp.int32, (num_heads, 1, D), 0)
+    rel = lane - head * dh
+    hsel = (rel >= 0) & (rel < dh)                             # [h, 1, D]
+    q_blk = jnp.where(hsel, jnp.broadcast_to(q[None], (num_heads, gk, D)),
+                      jnp.zeros((), q.dtype))
+    q_blk = q_blk.reshape(num_heads * gk, D)
+    s = jax.lax.dot_general(q_blk, k2, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [h*gk, gk*L]
+    scale = 1.0 / math.sqrt(dh)
+    bigmask = jnp.broadcast_to(mask[None], (num_heads, gk, gk * L))
+    bigmask = bigmask.reshape(num_heads * gk, gk * L)
+    s = jnp.where(bigmask > 0.5, s * scale, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(v2.dtype), v2, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [h*gk, D]
+    o = jnp.where(hsel, o.reshape(num_heads, gk, D), 0.0).sum(axis=0)
+    out_ref[...] = o.astype(out_ref.dtype).reshape(G, kbeam, D)
+
+
+def _kernel_body():
+    """EVOKE_LINEAGE_HEADS = fused (default) | loop.
+
+    fused is +10% end-to-end at the 224 serving config (steady-state 547.9 ->
+    604.8 r/s, batch 64, interleaved sessions) — the per-head loop's 16 tiny
+    dot issues were the kernel's real cost, not MXU time. loop is kept for
+    A/B and as a fallback for shapes where the num_heads-fold MXU growth of
+    the block-diagonal form could bind (very long caches / many heads)."""
+    return (_kernel
+            if os.environ.get("EVOKE_LINEAGE_HEADS", "fused") == "loop"
+            else _kernel_fused_heads)
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def lineage_attention(q, cache_k, cache_v, anc, pos, num_heads: int,
                       interpret: bool = False):
@@ -148,7 +222,7 @@ def lineage_attention(q, cache_k, cache_v, anc, pos, num_heads: int,
     )
     bytes_kv = 2 * kbeam * lmax * d * cache_k.dtype.itemsize
     out = pl.pallas_call(
-        functools.partial(_kernel, num_heads=num_heads),
+        functools.partial(_kernel_body(), num_heads=num_heads),
         out_shape=jax.ShapeDtypeStruct((b, kbeam, d), q.dtype),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(

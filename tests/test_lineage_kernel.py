@@ -62,6 +62,30 @@ class TestLineageKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("pos", [0, 5, 11])
+    def test_fused_heads_body_is_exact(self, rng, monkeypatch, pos):
+        """The fused-heads kernel body (one block-diagonal dot pair for all
+        heads) matches the per-head loop to f32 ULP level: the zeroed query
+        lanes contribute exact zeros, but they shift the real terms across
+        blocked-reduction accumulator lanes, so partial-sum rounding can
+        differ by ~1e-7 (not bitwise on every backend)."""
+        b, kbeam, lmax, d, heads = 4, 3, 12, 64, 8
+        n = b * kbeam
+        q = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        ck = jnp.asarray(rng.normal(size=(n, lmax, d)), jnp.float32)
+        cv = jnp.asarray(rng.normal(size=(n, lmax, d)), jnp.float32)
+        anc = jnp.asarray(rng.integers(0, kbeam, size=(b, kbeam, lmax)), jnp.int32)
+        monkeypatch.setenv("EVOKE_LINEAGE_HEADS", "loop")
+        lineage_attention.clear_cache()
+        out_loop = np.asarray(lineage_attention(q, ck, cv, anc, pos, heads,
+                                                interpret=True))
+        monkeypatch.setenv("EVOKE_LINEAGE_HEADS", "fused")
+        lineage_attention.clear_cache()
+        out_fused = np.asarray(lineage_attention(q, ck, cv, anc, pos, heads,
+                                                 interpret=True))
+        lineage_attention.clear_cache()
+        np.testing.assert_allclose(out_loop, out_fused, rtol=1e-5, atol=1e-6)
+
     def test_lineage_isolation(self, rng):
         """A query must see ONLY its own lineage: perturbing cache slots that
         belong to no lineage of beam 0 leaves beam 0's output unchanged."""
