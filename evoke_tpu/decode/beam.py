@@ -22,6 +22,7 @@ fixed max_len iterations, static shapes, no host sync inside the loop.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
@@ -32,6 +33,37 @@ NEG_INF = -1e9
 
 # step signature: (tok [N], pos scalar, state) -> (logp [N, V], state)
 StepFn = Callable
+
+
+def topk(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over the last axis, tie-order identical to ``lax.top_k``.
+
+    EVOKE_TOPK=iter swaps the sort-based ``lax.top_k`` custom call for k
+    unrolled argmax passes (k <= 8). Measured and NOT a win end-to-end, so
+    sort stays the default: dispatch-free at the serving stage-1 shape
+    [192, 30001] bf16 the argmax form is faster (107.3 -> 74.5 us/apply on
+    v5e-1 — the sibling max/argmax reduces fuse to near a SINGLE argmax's
+    cost), but in the real serving loop the interleaved A/B read 599.6 (sort)
+    vs 595.4 (iter) r/s at 224 batch 64 — the three serialized reduce ops it
+    puts on the step's dependency chain cost more than the one sort call they
+    replace (DESIGN 5i: op-chain latency, not bytes, binds the loop). Tokens
+    were 100% identical on-chip. Ties resolve to the lowest index in both
+    formulations (argmax returns the first maximum; the sort is stable),
+    asserted equal on random bf16 data (dense with exact ties) in
+    tests/test_decode.py.
+    """
+    if k > 8 or os.environ.get("EVOKE_TOPK", "sort") == "sort":
+        return jax.lax.top_k(x, k)
+    neg = jnp.asarray(NEG_INF, x.dtype)
+    iota = jnp.arange(x.shape[-1], dtype=jnp.int32)
+    vals, idxs = [], []
+    xw = x
+    for _ in range(k):
+        idx = jnp.argmax(xw, axis=-1).astype(jnp.int32)
+        vals.append(jnp.take_along_axis(xw, idx[..., None], axis=-1)[..., 0])
+        idxs.append(idx)
+        xw = jnp.where(iota == idx[..., None], neg, xw)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
 
 
 def penalty_fn(spec: str) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
@@ -219,14 +251,14 @@ def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, p
                 logits = jnp.where(jax.nn.one_hot(tok, vocab_size, dtype=bool),
                                    NEG_INF, logits)
             # stage 1: within-row top-k on raw logits (== top-k on log-probs)
-            vals, tok_cand = jax.lax.top_k(logits, k)        # [N, k]
+            vals, tok_cand = topk(logits, k)                 # [N, k]
             logp_cand = vals.astype(jnp.float32) - lse[:, None]
             cand = alive_logp.reshape(n)[:, None] + logp_cand
             cand = cand.reshape(batch, k, k)
             cand = jnp.where((t == 0) & (jnp.arange(k)[None, :, None] > 0),
                              NEG_INF, cand)
             # stage 2: exact joint top-k over the k*k survivors
-            scores, flat_idx = jax.lax.top_k(cand.reshape(batch, k * k), k)
+            scores, flat_idx = topk(cand.reshape(batch, k * k), k)
             beam_idx = flat_idx // k
             tok_idx = jnp.take_along_axis(tok_cand.reshape(batch, k * k),
                                           flat_idx, axis=1)
@@ -245,7 +277,7 @@ def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, p
             cand = jnp.where((t == 0) & (jnp.arange(k)[None, :, None] > 0),
                              NEG_INF, cand)
             flat = cand.reshape(batch, k * vocab_size)
-            scores, idx = jax.lax.top_k(flat, k)             # [B, k]
+            scores, idx = topk(flat, k)                      # [B, k]
             beam_idx = idx // vocab_size
             tok_idx = idx % vocab_size
 
@@ -260,7 +292,7 @@ def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, p
         # merge newly finished beams into the done buffer (keep top-k by score)
         all_scores = jnp.concatenate([done_score, fin_score], axis=1)       # [B, 2k]
         all_seqs = jnp.concatenate([done_seq, seq], axis=1)                  # [B, 2k, L]
-        top_scores, top_idx = jax.lax.top_k(all_scores, k)
+        top_scores, top_idx = topk(all_scores, k)
         done_seq = jnp.take_along_axis(all_seqs, top_idx[:, :, None], axis=1)
         done_score = top_scores
 
@@ -364,7 +396,7 @@ def diverse_beam_search(step: StepFn, state0_per_group, batch: int, *, bos_id: i
         cand = carry["alive"][:, :, None] + logp
         cand = jnp.where((t_local == 0) & (jnp.arange(bdash)[None, :, None] > 0),
                          NEG_INF, cand)
-        scores, idx = jax.lax.top_k(cand.reshape(batch, bdash * vocab_size), bdash)
+        scores, idx = topk(cand.reshape(batch, bdash * vocab_size), bdash)
         beam_idx = idx // vocab_size
         tok_idx = idx % vocab_size
         seq = jnp.take_along_axis(carry["seq"], beam_idx[:, :, None], axis=1)
@@ -374,7 +406,7 @@ def diverse_beam_search(step: StepFn, state0_per_group, batch: int, *, bos_id: i
         fin_score = jnp.where(finished, lp(jnp.float32(t_local + 1), scores), NEG_INF)
         all_scores = jnp.concatenate([carry["done_score"], fin_score], axis=1)
         all_seqs = jnp.concatenate([carry["done_seq"], seq], axis=1)
-        top_scores, top_idx = jax.lax.top_k(all_scores, bdash)
+        top_scores, top_idx = topk(all_scores, bdash)
         return {
             "tok": tok_idx.reshape(n),
             "dec": dec,

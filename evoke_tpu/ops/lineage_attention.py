@@ -271,11 +271,23 @@ def use_pallas_lineage(cache_k) -> bool:
     """Dispatch policy for layers.cached_self_attention's ancestor branch.
 
     int8-quantized caches stay on the XLA path (the kernel would need the
-    per-slot scales; the quantized mode is itself opt-in)."""
+    per-slot scales; the quantized mode is itself opt-in).
+
+    Narrow models (d_model not a multiple of the 128-lane vector width) also
+    stay on XLA: Mosaic rejects the kernel's (G, kbeam, D) -> (G*kbeam, D)
+    sublane merge below one full lane tile ("unsupported shape cast" on a
+    real v5e at D=64 — found driving the library end-to-end, not by the
+    interpret-mode CPU tests, which bypass Mosaic). The XLA ancestor
+    formulation is exact (tests/test_lineage_kernel.py asserts equality), so
+    small-dim models lose nothing but the kernel's bandwidth advantage.
+    EVOKE_LINEAGE_KERNEL=pallas still forces the kernel at any width (the
+    exactness tests run it in interpret mode, where Mosaic is not involved)."""
     mode = lineage_kernel_mode()
     if mode == "xla" or cache_k.dtype == jnp.int8:
         return False
-    return mode == "pallas" or jax.default_backend() == "tpu"
+    if mode == "pallas":
+        return True
+    return jax.default_backend() == "tpu" and cache_k.shape[-1] % 128 == 0
 
 
 def lineage_interpret() -> bool:

@@ -444,3 +444,47 @@ class TestCacheSchedule:
         grown = grow_caches(kv_state(2, 4), 9)
         assert grown["cache_k"][0].shape[1] == 9
         assert grown["cache_v"][0].shape[1] == 9
+
+
+class TestIterativeTopK:
+    """decode.beam.topk with EVOKE_TOPK=iter: k argmax passes, tie-order
+    identical to lax.top_k.
+
+    Measured NOT a serving win (the sort custom call stays the default; see
+    the topk docstring), but the iter path remains selectable and must stay
+    exact: same values AND indices as lax.top_k, including ties (argmax
+    returns the first maximum; lax.top_k's sort is stable)."""
+
+    @pytest.fixture(autouse=True)
+    def _iter_mode(self, monkeypatch):
+        monkeypatch.setenv("EVOKE_TOPK", "iter")
+
+    @pytest.mark.parametrize("shape,k", [((7, 301), 3), ((4, 9), 3), ((4, 6), 3),
+                                         ((2, 50), 1), ((3, 17), 8)])
+    def test_matches_lax_top_k(self, shape, k):
+        from evoke_tpu.decode.beam import topk
+
+        x = jnp.asarray(np.random.default_rng(0).normal(size=shape), jnp.float32)
+        v1, i1 = jax.lax.top_k(x, k)
+        v2, i2 = topk(x, k)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+    def test_ties_resolve_identically(self):
+        from evoke_tpu.decode.beam import topk
+
+        # bf16 quantization makes dense exact ties; also hand-built all-equal rows
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(16, 1000)), jnp.float32).astype(jnp.bfloat16)
+        x = jnp.concatenate([x, jnp.zeros((16, 1000), jnp.bfloat16)], axis=0)
+        v1, i1 = jax.lax.top_k(x, 3)
+        v2, i2 = topk(x, 3)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_large_k_falls_back_to_sort(self):
+        from evoke_tpu.decode.beam import topk
+
+        x = jnp.asarray(np.random.default_rng(2).normal(size=(3, 40)), jnp.float32)
+        v, i = topk(x, 11)
+        v1, i1 = jax.lax.top_k(x, 11)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i1))

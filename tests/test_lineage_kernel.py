@@ -183,3 +183,33 @@ class TestLineageKernel:
         anc_p = diverse_beam_search(step, mk_states(), b, ancestor_kv=True, **kw)
         np.testing.assert_array_equal(np.asarray(base.seqs), np.asarray(anc_x.seqs))
         np.testing.assert_array_equal(np.asarray(base.seqs), np.asarray(anc_p.seqs))
+
+
+class TestDispatchGate:
+    """use_pallas_lineage: narrow models must fall back to the XLA ancestor
+    path on TPU — Mosaic rejects the kernel's sublane merge below one full
+    128-lane tile (found on a real v5e at d_model=64 driving the library
+    end-to-end; interpret-mode tests bypass Mosaic and cannot catch it)."""
+
+    def test_narrow_d_falls_back_in_auto(self, monkeypatch):
+        from evoke_tpu.ops import lineage_attention as la
+
+        monkeypatch.delenv("EVOKE_LINEAGE_KERNEL", raising=False)
+        monkeypatch.setattr(la.jax, "default_backend", lambda: "tpu")
+        assert not la.use_pallas_lineage(jnp.zeros((6, 10, 64), jnp.bfloat16))
+        assert not la.use_pallas_lineage(jnp.zeros((6, 10, 192), jnp.bfloat16))
+        assert la.use_pallas_lineage(jnp.zeros((6, 10, 512), jnp.bfloat16))
+        assert la.use_pallas_lineage(jnp.zeros((6, 10, 128), jnp.bfloat16))
+
+    def test_forced_pallas_keeps_interpret_tests_running(self, monkeypatch):
+        from evoke_tpu.ops import lineage_attention as la
+
+        monkeypatch.setenv("EVOKE_LINEAGE_KERNEL", "pallas")
+        assert la.use_pallas_lineage(jnp.zeros((6, 10, 64), jnp.bfloat16))
+
+    def test_int8_cache_stays_on_xla(self, monkeypatch):
+        from evoke_tpu.ops import lineage_attention as la
+
+        monkeypatch.delenv("EVOKE_LINEAGE_KERNEL", raising=False)
+        monkeypatch.setattr(la.jax, "default_backend", lambda: "tpu")
+        assert not la.use_pallas_lineage(jnp.zeros((6, 10, 512), jnp.int8))
