@@ -91,8 +91,13 @@ class ModelConfig:
 class DecodeConfig:
     """Report generation (reference: config/finetune_config.yaml:49-66)."""
 
-    sample_method: str = "beam_search"          # beam_search | greedy | sample | top_k | top_p
+    # beam_search | greedy | sample | gumbel | top_k | top_p — plus the
+    # reference's string-encoded forms "topN": N >= 1 is top-k sampling with
+    # k=N, 0 < N < 1 is nucleus sampling with p=N (caption_model.py:381-394)
+    sample_method: str = "beam_search"
     beam_size: int = 3
+    top_k: int = 0                               # top-k sampling cutoff (sample_method=top_k)
+    top_p: float = 0.0                           # nucleus sampling cutoff (sample_method=top_p)
     length_penalty: str = ""                     # "" | "wu_X" | "avg_X"
     diversity_lambda: float = 0.5
     suppress_unk: bool = False

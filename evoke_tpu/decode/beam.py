@@ -481,6 +481,11 @@ def greedy_sample(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int,
                   cache_schedule: Optional[Tuple[int, ...]] = None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-beam sampling with trigram blocking. Returns (seq [B, L], logp_sum [B])."""
+    if sample_method == "top_k":
+        assert top_k > 0, "sample_method='top_k' requires top_k > 0 (it would " \
+                          "silently degrade to plain sampling)"
+    if sample_method == "top_p":
+        assert 0.0 < top_p <= 1.0, "sample_method='top_p' requires 0 < top_p <= 1"
     if rng is None:
         rng = jax.random.key(0)
     schedule = (_validate_schedule(cache_schedule, max_len)

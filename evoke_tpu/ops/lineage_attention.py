@@ -163,17 +163,26 @@ def _kernel_fused_heads(pos_ref, q_ref, k_ref, v_ref, anc_ref, out_ref, *,
     out_ref[...] = o.astype(out_ref.dtype).reshape(G, kbeam, D)
 
 
-def _kernel_body():
-    """EVOKE_LINEAGE_HEADS = fused (default) | loop.
+def _kernel_for(g: int, kbeam: int):
+    """Variant choice. EVOKE_LINEAGE_HEADS = auto (default) | fused | loop.
 
     fused is +10% end-to-end at the 224 serving config (steady-state 547.9 ->
     604.8 r/s, batch 64, interleaved sessions) — the per-head loop's 16 tiny
-    dot issues were the kernel's real cost, not MXU time. loop is kept for
-    A/B and as a fallback for shapes where the num_heads-fold MXU growth of
-    the block-diagonal form could bind (very long caches / many heads)."""
-    return (_kernel
-            if os.environ.get("EVOKE_LINEAGE_HEADS", "fused") == "loop"
-            else _kernel_fused_heads)
+    dot issues were the kernel's real cost, not MXU time. But Mosaic only
+    compiles the fused form inside a narrow shape envelope (probed on a real
+    v5e): kbeam=3 with G in {4, 8} works; kbeam 2/4 and G 1/2 all fail with
+    "Not implemented: Sublane broadcast" (found driving diverse beam — bdash
+    groups give kbeam=2 — end-to-end on the chip; interpret-mode tests bypass
+    Mosaic). auto therefore selects fused only inside the measured envelope
+    and the per-head loop everywhere else (loop compiles and matches the XLA
+    formulation at every probed (G, kbeam, D) combination). A forced 'fused'
+    outside the envelope will fail Mosaic compilation loudly."""
+    mode = os.environ.get("EVOKE_LINEAGE_HEADS", "auto")
+    if mode == "loop":
+        return _kernel
+    if mode == "fused":
+        return _kernel_fused_heads
+    return _kernel_fused_heads if (kbeam == 3 and g in (4, 8)) else _kernel
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -222,7 +231,7 @@ def lineage_attention(q, cache_k, cache_v, anc, pos, num_heads: int,
     )
     bytes_kv = 2 * kbeam * lmax * d * cache_k.dtype.itemsize
     out = pl.pallas_call(
-        functools.partial(_kernel_body(), num_heads=num_heads),
+        functools.partial(_kernel_for(g, kbeam), num_heads=num_heads),
         out_shape=jax.ShapeDtypeStruct((b, kbeam, d), q.dtype),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(

@@ -211,9 +211,25 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
             return model.apply(variables, tok, pos, dstate, att_mask,
                                method=model.decode_step)
 
-        seq, _ = greedy_sample(step, state0, b, sample_method=decode_cfg.sample_method
-                               if decode_cfg.sample_method != "beam_search" else "greedy",
+        # sampling-method parity with caption_model.py:363-401: "topN" strings
+        # encode the cutoff (N >= 1 -> top-k, 0 < N < 1 -> nucleus), "gumbel"
+        # (argmax over gumbel-perturbed logits) IS categorical sampling
+        method = decode_cfg.sample_method
+        if method == "beam_search":
+            method = "greedy"
+        elif method == "gumbel":
+            method = "sample"
+        top_k = int(getattr(decode_cfg, "top_k", 0))
+        top_p = float(getattr(decode_cfg, "top_p", 0.0))
+        if method.startswith("top") and method not in ("top_k", "top_p"):
+            num = float(method[3:])
+            if 0 < num < 1:
+                method, top_p = "top_p", num
+            else:
+                method, top_k = "top_k", int(num)
+        seq, _ = greedy_sample(step, state0, b, sample_method=method,
                                temperature=decode_cfg.temperature,
+                               top_k=top_k, top_p=top_p,
                                block_trigrams=bool(decode_cfg.block_trigrams),
                                decoding_constraint=bool(decode_cfg.decoding_constraint),
                                cache_schedule=schedule,

@@ -488,3 +488,127 @@ class TestIterativeTopK:
         v, i = topk(x, 11)
         v1, i1 = jax.lax.top_k(x, 11)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i1))
+
+
+class TestSamplingCutoffs:
+    """top-k / nucleus sampling: the config-level cutoffs (DecodeConfig.top_k/
+    top_p and the reference's string-encoded "topN" forms,
+    caption_model.py:381-394) must actually constrain the sampled tokens."""
+
+    def _uniformish_step(self, batch, favored=(5, 6, 7)):
+        # logits strongly favor `favored`; any token outside them in the
+        # output proves the cutoff was not applied
+        logp = np.full((V,), -12.0, np.float32)
+        for tkn in favored:
+            logp[tkn] = -0.1
+        logp[EOS] = -30.0
+        logp = logp - np.log(np.exp(logp).sum())
+        row = jnp.asarray(logp)
+
+        def step(tok, pos, state):
+            return jnp.broadcast_to(row, (batch, V)), state
+        return step
+
+    def test_top_k_restricts_support(self):
+        from evoke_tpu.decode.beam import greedy_sample
+
+        batch, L = 8, 10
+        seq, _ = greedy_sample(self._uniformish_step(batch), {}, batch,
+                               bos_id=BOS, eos_id=EOS, pad_id=PAD, vocab_size=V,
+                               max_len=L, sample_method="top_k", top_k=3,
+                               block_trigrams=False)
+        toks = set(np.asarray(seq).ravel().tolist()) - {PAD}
+        assert toks <= {5, 6, 7}, toks
+
+    def test_top_p_restricts_support(self):
+        from evoke_tpu.decode.beam import greedy_sample
+
+        batch, L = 8, 10
+        seq, _ = greedy_sample(self._uniformish_step(batch), {}, batch,
+                               bos_id=BOS, eos_id=EOS, pad_id=PAD, vocab_size=V,
+                               max_len=L, sample_method="top_p", top_p=0.9,
+                               block_trigrams=False)
+        toks = set(np.asarray(seq).ravel().tolist()) - {PAD}
+        assert toks <= {5, 6, 7}, toks
+
+    def test_unset_cutoffs_fail_loudly(self):
+        from evoke_tpu.decode.beam import greedy_sample
+
+        with pytest.raises(AssertionError):
+            greedy_sample(self._uniformish_step(2), {}, 2, bos_id=BOS, eos_id=EOS,
+                          pad_id=PAD, vocab_size=V, max_len=4,
+                          sample_method="top_k")
+        with pytest.raises(AssertionError):
+            greedy_sample(self._uniformish_step(2), {}, 2, bos_id=BOS, eos_id=EOS,
+                          pad_id=PAD, vocab_size=V, max_len=4,
+                          sample_method="top_p")
+
+    def test_reference_topn_strings_parse(self):
+        """make_generate_step accepts the reference's "top5"/"top0.9" method
+        strings and routes them to top-k / nucleus sampling."""
+        from evoke_tpu.core.config import DecodeConfig
+        from evoke_tpu.models.rm_decoder import RMDecoder
+        from evoke_tpu.train.steps import TrainState
+        import evoke_tpu.train.steps as steps_mod
+
+        captured = {}
+        orig = steps_mod.greedy_sample
+
+        def spy(*args, **kw):
+            captured.update({k: kw.get(k) for k in ("sample_method", "top_k", "top_p")})
+            return orig(*args, **kw)
+
+        class Tok:
+            bos_id, eos_id, pad_id, unk_id = V - 2, V - 1, 0, 4
+
+            def get_vocab_size(self):
+                return V - 1
+
+        import flax.linen as nn
+
+        class TinyWrap(nn.Module):
+            dec: RMDecoder
+
+            def encode_for_decode(self, feats, pids, valid, b):
+                enc = self.dec.encode(feats, jnp.ones(feats.shape[:2], jnp.int32))
+                return enc, jnp.ones(feats.shape[:2], jnp.int32)
+
+            def init_decode_state(self, enc, batch, max_len, *extra):
+                return self.dec.init_decode_state(enc, batch, max_len, *extra)
+
+            def decode_step(self, tok, pos, state, att_mask, return_logits=False):
+                return self.dec.decode_step(tok, pos, state, att_mask,
+                                            return_logits=return_logits)
+
+            def __call__(self, feats, pids, valid, b):  # init surface
+                # full training forward so ALL decoder params exist post-init
+                ids = jnp.ones((feats.shape[0], 8), jnp.int32)
+                return self.dec(feats, jnp.ones(feats.shape[:2], jnp.int32),
+                                ids, jnp.ones_like(ids))
+
+        model = TinyWrap(RMDecoder(vocab_size=V - 1, d_model=16, d_ff=16,
+                                   d_vf=8, num_layers=1, num_heads=2,
+                                   rm_d_model=16, max_seq_len=8))
+        feats = jnp.ones((2, 3, 8), jnp.float32)
+        variables = model.init(jax.random.key(0), feats, None, None, 2)
+
+        for method, want in (("top5", {"sample_method": "top_k", "top_k": 5}),
+                             ("top0.9", {"sample_method": "top_p", "top_p": 0.9}),
+                             ("gumbel", {"sample_method": "sample"})):
+            captured.clear()
+            steps_mod.greedy_sample = spy
+            try:
+                gen = steps_mod.make_generate_step(
+                    model, Tok(), DecodeConfig(sample_method=method, beam_size=1), 8)
+                batch = {"images": feats, "ids": jnp.ones((2, 8), jnp.int32),
+                         "mask": jnp.ones((2, 8), jnp.int32),
+                         "pids": jnp.arange(2, dtype=jnp.int32),
+                         "valid": jnp.ones(2, bool)}
+                state = TrainState(step=0, params=variables["params"],
+                                   batch_stats=variables.get("batch_stats", {}),
+                                   opt_state=None)
+                gen(state, batch)
+            finally:
+                steps_mod.greedy_sample = orig
+            for k, v in want.items():
+                assert captured[k] == v, (method, captured)

@@ -213,3 +213,28 @@ class TestDispatchGate:
         monkeypatch.delenv("EVOKE_LINEAGE_KERNEL", raising=False)
         monkeypatch.setattr(la.jax, "default_backend", lambda: "tpu")
         assert not la.use_pallas_lineage(jnp.zeros((6, 10, 512), jnp.int8))
+
+
+class TestVariantEnvelope:
+    """_kernel_for: auto mode must select the fused-heads form ONLY inside the
+    Mosaic-probed envelope (kbeam=3 with G in {4, 8} on a real v5e); every
+    other shape takes the per-head loop, which compiles everywhere probed.
+    Diverse beam (bdash groups -> kbeam=2) crashed Mosaic under the old
+    unconditional-fused default."""
+
+    def test_auto_selection(self, monkeypatch):
+        from evoke_tpu.ops import lineage_attention as la
+
+        monkeypatch.delenv("EVOKE_LINEAGE_HEADS", raising=False)
+        assert la._kernel_for(4, 3) is la._kernel_fused_heads
+        assert la._kernel_for(8, 3) is la._kernel_fused_heads
+        for g, kbeam in ((1, 3), (2, 3), (4, 2), (4, 4), (8, 2)):
+            assert la._kernel_for(g, kbeam) is la._kernel, (g, kbeam)
+
+    def test_forced_modes(self, monkeypatch):
+        from evoke_tpu.ops import lineage_attention as la
+
+        monkeypatch.setenv("EVOKE_LINEAGE_HEADS", "loop")
+        assert la._kernel_for(4, 3) is la._kernel
+        monkeypatch.setenv("EVOKE_LINEAGE_HEADS", "fused")
+        assert la._kernel_for(1, 2) is la._kernel_fused_heads
