@@ -203,6 +203,9 @@ class FinetuneModel(nn.Module):
             return self.text_decoder.init_decode_state(enc, batch, max_len, kv_dtype)
         return self.text_decoder.init_decode_state(enc, batch, max_len)
 
-    def decode_step(self, tok, pos, state, att_mask, return_logits=False):
+    def decode_step(self, tok, pos, state, att_mask, return_logits=False, age=None):
+        if age is not None:  # ring-cache continuous serving (decode/continuous.py)
+            return self.text_decoder.decode_step(tok, pos, state, att_mask,
+                                                 return_logits=return_logits, age=age)
         return self.text_decoder.decode_step(tok, pos, state, att_mask,
                                              return_logits=return_logits)

@@ -183,7 +183,7 @@ def _dequantize(cache, scale, dtype):
 
 
 def cached_self_attention(attn, h, cache_k, cache_v, pos, anc=None,
-                          scale_k=None, scale_v=None):
+                          scale_k=None, scale_v=None, age=None):
     """Decode-step self-attention over the KV cache.
 
     ``attn`` is any block exposing ``attend(q, k_proj, v_proj, mask=...)``
@@ -212,7 +212,23 @@ def cached_self_attention(attn, h, cache_k, cache_v, pos, anc=None,
     (ops/lineage_attention.py — each sample's cache block is DMA'd to VMEM
     once and the lineage mask never leaves the VPU, vs the XLA formulation's
     beam-times-larger materialized masked scores); EVOKE_LINEAGE_KERNEL
-    forces either path."""
+    forces either path.
+
+    age [N] (continuous serving, decode/continuous.py): caches are RING
+    buffers — every row writes at the shared physical slot ``pos`` but sits
+    at its own logical position. Row r's valid history is the ring range of
+    its last age[r]+1 writes: slot j is readable iff (pos - j) mod L <=
+    age[r]. Attention is permutation-invariant given the mask (the PE is
+    added to the input embedding, never inside K/V), so rotated storage is
+    exact."""
+    if age is not None:
+        assert anc is None, "continuous ring caches use the plain (reorder) path"
+        cache_k = _dequantize(cache_k, scale_k, h.dtype)
+        cache_v = _dequantize(cache_v, scale_v, h.dtype)
+        lmax = cache_k.shape[1]
+        delta = jnp.mod(pos - jnp.arange(lmax), lmax)          # [L]
+        mask = (delta[None, :] <= age[:, None])[:, None, None, :]
+        return attn.attend(h, cache_k, cache_v, mask=mask)
     if anc is not None and scale_k is None and use_pallas_lineage(cache_k):
         return attn.attend_lineage(h, cache_k, cache_v, anc, pos)
     cache_k = _dequantize(cache_k, scale_k, h.dtype)
@@ -280,11 +296,19 @@ class TokenEmbed(nn.Module):
         x = x + self.pe[None, : ids.shape[1]]
         return self.drop(x, deterministic=deterministic)
 
-    def at_position(self, ids, pos, deterministic=True):
-        """ids: [B] (one token per row), pos: scalar position -> [B, 1, D]."""
+    def at_position(self, ids, pos, deterministic=True, age=None):
+        """ids: [B] (one token per row), pos: scalar position -> [B, 1, D].
+
+        age [B] (continuous serving, decode/continuous.py): rows sit at
+        per-row logical positions while ``pos`` is only the shared physical
+        ring slot — the PE is then a per-row gather (same op as the token
+        embedding lookup)."""
         x = self.lut(ids)[:, None, :] * math.sqrt(self.d_model)
-        pe = jax.lax.dynamic_slice_in_dim(self.pe, pos, 1, axis=0)
-        x = x + pe[None]
+        if age is not None:
+            x = x + self.pe[age][:, None, :]
+        else:
+            pe = jax.lax.dynamic_slice_in_dim(self.pe, pos, 1, axis=0)
+            x = x + pe[None]
         return self.drop(x, deterministic=deterministic)
 
 

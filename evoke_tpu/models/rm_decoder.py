@@ -171,13 +171,15 @@ class RMDecoderLayer(nn.Module):
         return self.src_attn.project_kv(enc)
 
     def step(self, x, cross_k, cross_v, cross_mask, memory, cache_k, cache_v, pos,
-             anc=None, kv_scales=None):
+             anc=None, kv_scales=None, age=None):
         """One-token decode step with projected-KV caching (exact vs full re-decode).
 
         x: [B, 1, D]; memory: [B, 1, S*Drm]; cache_k/v: [B, Lmax, D]; pos: scalar.
         anc: optional beam-ancestor table (layers.cached_self_attention).
         kv_scales: (scale_k, scale_v) [B, Lmax] when the caches are int8
         (DecodeConfig.kv_cache_dtype='int8'). Returns (x, ck, cv, kv_scales).
+        age [B]: ring-buffer caches at per-row logical positions (continuous
+        serving) — pos is the shared physical write slot, masks follow age.
         """
         h = self.cln1(x, memory)
         k_new, v_new = self.self_attn.project_kv(h)
@@ -191,7 +193,7 @@ class RMDecoderLayer(nn.Module):
             cache_k, sk = quantized_cache_update(cache_k, kv_scales[0], k_new, pos)
             cache_v, sv = quantized_cache_update(cache_v, kv_scales[1], v_new, pos)
         x = x + cached_self_attention(self.self_attn, h, cache_k, cache_v, pos, anc,
-                                      sk, sv)
+                                      sk, sv, age=age)
         h = self.cln2(x, memory)
         x = x + self.src_attn.attend(h, cross_k, cross_v, mask=cross_mask)
         h = self.cln3(x, memory)
@@ -300,14 +302,18 @@ class RMDecoder(nn.Module):
             state["cache_v_scale"] = tuple(sz() for _ in range(self.num_layers))
         return state
 
-    def decode_step(self, tok, pos, state, att_mask, return_logits=False):
+    def decode_step(self, tok, pos, state, att_mask, return_logits=False, age=None):
         """tok: [B] token ids, pos: scalar int, state: from init_decode_state.
 
         Returns (log-probs [B, V+1], new state); with ``return_logits=True``
         the first element is the UNNORMALIZED logits (the beam's two-stage
         top-k normalizes only the k*k winning candidates — decode/beam.py).
+
+        age [N]: continuous-serving mode (decode/continuous.py) — rows sit
+        at per-row logical positions (PE gathered per row) while ``pos`` is
+        the shared physical ring slot the caches write at.
         """
-        x = self.tgt_embed.at_position(tok, pos)               # [B, 1, D]
+        x = self.tgt_embed.at_position(tok, pos, age=age)      # [B, 1, D]
         mem = self.rm.step(x[:, 0, :], state["memory"])        # [B, S*D]
         cross_mask = make_cross_mask(att_mask)
         anc = state.get("anc")
@@ -319,7 +325,7 @@ class RMDecoder(nn.Module):
             x, ck, cv, sc = layer.step(x, state["cross_k"][i], state["cross_v"][i],
                                        cross_mask, mem[:, None, :],
                                        state["cache_k"][i], state["cache_v"][i], pos,
-                                       anc=anc, kv_scales=kv_scales)
+                                       anc=anc, kv_scales=kv_scales, age=age)
             new_k.append(ck)
             new_v.append(cv)
             if sc is not None:

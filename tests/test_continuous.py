@@ -1,0 +1,244 @@
+"""Continuous-batching serving engine (decode/continuous.py).
+
+Parity strategy: the engine's per-step beam math must be decode/beam.py's
+exactly, with scalar time generalized to per-slot age over ring caches. The
+synthetic-step tests drive the full slot lifecycle (admit -> decode -> freeze
+-> harvest -> re-admit, with ring wrap-around) against per-study beam_search
+goldens computed from the SAME deterministic logit function; the model tests
+then prove the ring-cache decode path itself (per-row PE, ring masks, shared
+physical DUS) against make_generate_step on a real tiny FinetuneModel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evoke_tpu.decode.beam import beam_search
+from evoke_tpu.decode.continuous import (SegmentOutputs, init_carry,
+                                         make_segment_fn)
+
+KEY = jax.random.key(0)
+
+V, EOS, BOS, PAD = 13, 2, 1, 0
+K, L = 2, 10
+
+
+def f_logits(code_rows, age_rows, tok):
+    """Deterministic pseudo-random logits per (study code, age, prev token);
+    EOS is forced at age == target_len(code) - 1 and forbidden before."""
+    i = jnp.arange(V, dtype=jnp.float32)
+    x = jnp.sin(code_rows[:, None] * 12.9898 + age_rows[:, None] * 78.233
+                + tok[:, None] * 37.719 + i[None, :] * 3.141) * 4.0
+    tlen = 3 + code_rows % 5                                  # lengths 3..7
+    at_end = (age_rows[:, None] == (tlen - 1)[:, None])
+    is_eos = (jnp.arange(V) == EOS)[None, :]
+    x = jnp.where(at_end & is_eos, 100.0, x)
+    x = jnp.where(~at_end & is_eos, -100.0, x)
+    return x
+
+
+def synth_dec(n_rows):
+    """Minimal decode-state pytree honoring the engine's contracts
+    (cross_* slot-level and skipped by the beam gather; memory row-level)."""
+    return {"cross_k": (jnp.zeros((n_rows // K, 1, 1)),),
+            "cross_v": (jnp.zeros((n_rows // K, 1, 1)),),
+            "memory": jnp.zeros((n_rows, 1))}
+
+
+def golden_for_code(code, length_penalty=""):
+    def step(tok, t, dstate):
+        rows = tok.shape[0]
+        return (f_logits(jnp.full((rows,), code, jnp.int32),
+                         jnp.full((rows,), t, jnp.int32), tok), dstate)
+
+    res = beam_search(step, synth_dec(K), 1, bos_id=BOS, eos_id=EOS, pad_id=PAD,
+                      vocab_size=V, beam_size=K, max_len=L, raw_logits=True,
+                      length_penalty=length_penalty, early_stop=True)
+    return np.asarray(res.seqs[0]), np.asarray(res.scores[0])
+
+
+def engine_step_fn(tok, p, age_rows, dec, att_mask, aux):
+    code_rows = jnp.repeat(aux, K)
+    return f_logits(code_rows, age_rows, tok), dec
+
+
+def run_engine(codes, slots=3, seg_steps=4, length_penalty="", pack_size=4):
+    """Admit studies with the given codes through the engine; return
+    {code: (seqs, scores)} harvested per ticket (ticket i <-> codes[i])."""
+    seg = make_segment_fn(engine_step_fn, slots=slots, beam_size=K,
+                          seg_steps=seg_steps, bos_id=BOS, eos_id=EOS,
+                          pad_id=PAD, vocab_size=V, max_len=L,
+                          length_penalty=length_penalty, jit=False)
+    n = slots * K
+    carry = init_carry(synth_dec(n), jnp.ones((slots, 1), jnp.int32),
+                       slots, K, L, PAD, BOS)
+    memory0 = carry["dec"]["memory"]
+
+    packs = []
+    for i in range(0, len(codes), pack_size):
+        chunk = codes[i:i + pack_size]
+        e = pack_size
+        pk = {"cross_k": (jnp.zeros((e, 1, 1)),),
+              "cross_v": (jnp.zeros((e, 1, 1)),),
+              "att_mask": jnp.ones((e, 1), jnp.int32),
+              "ticket": jnp.asarray(np.arange(i, i + e, dtype=np.int32)),
+              "aux": jnp.asarray(np.pad(chunk, (0, e - len(chunk))).astype(np.int32))}
+        packs.append([pk, 0, len(chunk)])
+
+    results = {}
+    guard = 0
+    while len(results) < len(codes):
+        guard += 1
+        assert guard < 200, "engine failed to converge"
+        if packs:
+            pack, off, avail = packs[0]
+        else:
+            pack, off, avail = last_pack, 0, 0
+        carry, out = seg(carry, pack, jnp.int32(off), jnp.int32(avail), memory0)
+        last_pack = pack
+        harvested = np.asarray(out.harvested)
+        tickets = np.asarray(out.tickets)
+        for s in np.nonzero(harvested)[0]:
+            t = int(tickets[s])
+            results[codes[t]] = (np.asarray(out.seqs[s]), np.asarray(out.scores[s]))
+        n_adm = int(out.n_admitted)
+        if packs and n_adm:
+            packs[0][1] += n_adm
+            if packs[0][1] >= packs[0][2]:
+                packs.pop(0)
+    return results
+
+
+class TestEngineVsBeamSearch:
+    def test_lifecycle_parity(self):
+        """7 studies through 3 slots (re-admission + ring wrap): every study's
+        tokens and scores equal per-study beam_search on the same logits."""
+        codes = [0, 1, 2, 3, 4, 5, 6]
+        results = run_engine(codes)
+        assert sorted(results) == codes
+        for c in codes:
+            g_seq, g_score = golden_for_code(c)
+            e_seq, e_score = results[c]
+            np.testing.assert_array_equal(e_seq, g_seq, err_msg=f"code {c}")
+            np.testing.assert_allclose(e_score, g_score, rtol=0, atol=1e-5,
+                                       err_msg=f"code {c}")
+
+    def test_length_penalty_parity(self):
+        codes = [0, 3, 6, 2]
+        results = run_engine(codes, slots=2, seg_steps=3,
+                             length_penalty="avg_1")
+        for c in codes:
+            g_seq, g_score = golden_for_code(c, length_penalty="avg_1")
+            e_seq, e_score = results[c]
+            np.testing.assert_array_equal(e_seq, g_seq, err_msg=f"code {c}")
+            np.testing.assert_allclose(e_score, g_score, rtol=0, atol=1e-5)
+
+    def test_admission_accounting(self):
+        """Free slots admit FIFO; totals match; inactive slots never harvest."""
+        seg = make_segment_fn(engine_step_fn, slots=4, beam_size=K, seg_steps=2,
+                              bos_id=BOS, eos_id=EOS, pad_id=PAD, vocab_size=V,
+                              max_len=L, jit=False)
+        carry = init_carry(synth_dec(8), jnp.ones((4, 1), jnp.int32), 4, K, L,
+                           PAD, BOS)
+        memory0 = carry["dec"]["memory"]
+        pk = {"cross_k": (jnp.zeros((3, 1, 1)),),
+              "cross_v": (jnp.zeros((3, 1, 1)),),
+              "att_mask": jnp.ones((3, 1), jnp.int32),
+              "ticket": jnp.asarray([10, 11, 12], jnp.int32),
+              "aux": jnp.asarray([0, 1, 2], jnp.int32)}
+        carry, out = seg(carry, pk, jnp.int32(0), jnp.int32(2), memory0)
+        assert int(out.n_admitted) == 2          # avail caps admission
+        assert not np.asarray(out.harvested).any()
+        assert np.asarray(carry["active"]).sum() == 2
+        assert list(np.asarray(carry["ticket"])[:2]) == [10, 11]
+        carry, out = seg(carry, pk, jnp.int32(2), jnp.int32(3), memory0)
+        assert int(out.n_admitted) == 1          # remaining row fills slot 2
+        assert np.asarray(carry["active"]).sum() == 3
+
+
+def _tiny_setup(tmp_path, n_test=5, beam=2):
+    from evoke_tpu.data.batching import MultiviewBatcher
+    from evoke_tpu.data.datasets import load_annotation, parse_finetune
+    from evoke_tpu.data.synthetic import write_synthetic_dataset
+    from evoke_tpu.data.tokenizer import WordTokenizer
+    from evoke_tpu.data.transforms import make_transform
+    from evoke_tpu.models.finetune import FinetuneModel
+    from evoke_tpu.train.steps import TrainState
+
+    root = str(tmp_path)
+    ann_path = write_synthetic_dataset(root, n_train=6, n_val=2, n_test=n_test,
+                                       image_size=32)
+    ann = load_annotation(ann_path)
+    tok = WordTokenizer.train([it["report"] for it in ann["train"]])
+    has_ind, no_ind = parse_finetune(ann, "test")
+    examples = no_ind or has_ind
+    tf = make_transform(32, train=False)
+    loader = MultiviewBatcher(examples, tok, tf, n_anchor=2, max_seq_len=16,
+                              image_dir=root, shuffle=False,
+                              with_indication=False, text_field="report",
+                              add_bos_eos=True, num_workers=2)
+    model = FinetuneModel(
+        vocab_size=tok.get_vocab_size(), output_dim=32, encoder_hidden_size=32,
+        encoder_num_layers=1, encoder_num_heads=2, encoder_intermediate_size=64,
+        d_model=32, d_ff=64, num_heads=2, num_layers=1, rm_num_slots=2,
+        rm_d_model=32, fusion_num_heads=2, fusion_intermediate_size=64,
+        sk_fusion_num_layers=1, max_seq_len=16, drop_prob_lm=0.0)
+    b0 = next(iter(loader))
+    variables = jax.jit(model.init)(KEY, b0["images"], b0["ids"], b0["mask"],
+                                    b0["pids"], b0["valid"])
+    state = TrainState(step=0, params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=None)
+    return model, tok, state, loader, examples
+
+
+@pytest.mark.slow
+class TestContinuousServerModel:
+    def test_matches_batched_generate(self, tmp_path):
+        """ContinuousServer reports == make_generate_step reports per study:
+        the ring-cache decode path (per-row PE, ring masks, shared DUS) is
+        output-identical to the scalar-pos batch path, including for studies
+        admitted at t > 0 (rotated rings)."""
+        from evoke_tpu.core.config import DecodeConfig
+        from evoke_tpu.decode.continuous import ContinuousServer
+        from evoke_tpu.train.steps import make_generate_step
+
+        model, tok, state, loader, examples = _tiny_setup(tmp_path)
+        gen = make_generate_step(model, tok, DecodeConfig(beam_size=2), 16,
+                                 with_indication=False)
+        golden = {}
+        for b in loader:
+            dev = {k: v for k, v in b.items() if not k.startswith("_")}
+            seqs = np.asarray(gen(state, dev))
+            texts = tok.decode_batch(seqs.tolist())
+            valid = np.asarray(b["valid"])
+            for i, iid in enumerate(b["_image_ids"]):
+                if valid[i]:
+                    golden[iid] = texts[i]
+
+        server = ContinuousServer(model, tok, state, max_seq_len=16, slots=2,
+                                  beam_size=2, seg_steps=4)
+        records, stats = server.serve(loader)
+        assert len(records) == len(golden) == len(examples)
+        for rec in records:
+            assert rec["report"] == golden[rec["id"]], rec["id"]
+            assert "gt" in rec
+        assert stats["reports"] == len(records)
+        assert stats["reports_per_s"] > 0
+
+    def test_rotation_invariance(self, tmp_path):
+        """The same study admitted at different ring offsets produces the
+        same report (single-slot engine => every study after the first is
+        rotated differently)."""
+        from evoke_tpu.decode.continuous import ContinuousServer
+
+        model, tok, state, loader, examples = _tiny_setup(tmp_path, n_test=3)
+        a = ContinuousServer(model, tok, state, max_seq_len=16, slots=1,
+                             beam_size=2, seg_steps=3)
+        b = ContinuousServer(model, tok, state, max_seq_len=16, slots=2,
+                             beam_size=2, seg_steps=5)
+        ra, _ = a.serve(loader)
+        rb, _ = b.serve(loader)
+        assert {r["id"]: r["report"] for r in ra} == \
+               {r["id"]: r["report"] for r in rb}
