@@ -221,16 +221,33 @@ def _serve(cfg, model, tokenizer, loaders, state) -> int:
         merged, report = mgr.partial_restore_from(cfg.trainer.load, state.params)
         state = state.replace(params=merged)
         print(f"loaded weights: {report}")
-    server = ReportServer(model, tokenizer, state, cfg.decode,
-                          max_seq_len=cfg.data.max_seq_len)
     records: List[Dict] = []
     stats: List[Dict[str, float]] = []
     inc, no = loaders["test"]
-    for loader, with_ind in ((inc, True), (no, False)):
-        if loader is None:
-            continue
-        records.extend(server.serve(loader, with_indication=with_ind))
-        stats.append(dict(server.stats))
+    if cfg.decode.engine == "continuous":
+        from evoke_tpu.decode.continuous import ContinuousServer
+
+        server = ContinuousServer(
+            model, tokenizer, state, max_seq_len=cfg.data.max_seq_len,
+            slots=cfg.decode.slots, beam_size=cfg.decode.beam_size,
+            seg_steps=cfg.decode.seg_steps,
+            suppress_unk=cfg.decode.suppress_unk,
+            length_penalty=cfg.decode.length_penalty,
+            beam_kv=cfg.decode.beam_kv)
+        for loader in (inc, no):
+            if loader is None:
+                continue
+            recs, st = server.serve(loader, prefetch=cfg.data.prefetch)
+            records.extend(recs)
+            stats.append(st)
+    else:
+        server = ReportServer(model, tokenizer, state, cfg.decode,
+                              max_seq_len=cfg.data.max_seq_len)
+        for loader, with_ind in ((inc, True), (no, False)):
+            if loader is None:
+                continue
+            records.extend(server.serve(loader, with_indication=with_ind))
+            stats.append(dict(server.stats))
     os.makedirs(cfg.result_dir, exist_ok=True)
     out_path = os.path.join(cfg.result_dir, "serve_prediction.csv")
     with open(out_path, "w", newline="") as f:

@@ -137,6 +137,16 @@ class DecodeConfig:
     # numerics (not bit-exact to bf16 caches): opt-in, serving-oriented;
     # only the R2Gen decoder implements it today.
     kv_cache_dtype: str = ""                     # "" | int8
+    # Serving engine for the `serve` task: "batch" decodes loader batches to
+    # completion (serve.ReportServer, pipelined depth-2); "continuous" keeps
+    # the decode batch full across study boundaries — finished studies are
+    # harvested at segment boundaries and their slots re-admitted from the
+    # queue of pre-encoded studies (decode/continuous.py ring-cache engine).
+    # Batch mode pays the SLOWEST study of every batch; with the real MIMIC
+    # length mix continuous wins whenever generated lengths vary.
+    engine: str = "batch"                        # batch | continuous
+    slots: int = 64                              # continuous: decode slots (studies in flight)
+    seg_steps: int = 10                          # continuous: decode steps between harvests
 
 
 @dataclass

@@ -52,13 +52,21 @@ ContinuousStepFn = Callable
 
 
 class SegmentOutputs(NamedTuple):
-    """Per-segment harvest + admission report (slot-indexed, static shape)."""
+    """Per-segment harvest + admission report (slot-indexed, static shape).
+
+    ``host_meta``/``best_seq`` duplicate the fields the serving driver needs
+    in TWO dense int32 arrays so the per-segment host read is a single
+    device_get (each separate fetch through a remote TPU runtime costs a
+    ~30-60 ms round trip — measured, DESIGN 5l)."""
 
     harvested: jnp.ndarray   # [B] bool — slot finished and was freed this call
     tickets: jnp.ndarray     # [B] int32 — admission ticket of the harvested study
     seqs: jnp.ndarray        # [B, k, L] int32 — logical order, best-first, PAD after EOS
     scores: jnp.ndarray      # [B, k] f32 — length-penalized log-probs
     n_admitted: jnp.ndarray  # scalar int32 — pack rows consumed this call
+    host_meta: jnp.ndarray   # [B+1, 2] int32 — rows 0..B-1: (harvested, ticket);
+    #                          row B: (n_admitted, pack_pos after admission)
+    best_seq: jnp.ndarray    # [B, L] int32 — seqs[:, 0] (the emitted report)
 
 
 def init_carry(dec0: Dict[str, Any], att_mask0: jnp.ndarray, slots: int,
@@ -79,6 +87,7 @@ def init_carry(dec0: Dict[str, Any], att_mask0: jnp.ndarray, slots: int,
         "dec": dec0,
         "att_mask": att_mask0,
         "t": jnp.zeros((), jnp.int32),
+        "pack_pos": jnp.zeros((), jnp.int32),
         "age": jnp.zeros((slots,), jnp.int32),
         "base": jnp.zeros((slots,), jnp.int32),
         "active": jnp.zeros((slots,), bool),
@@ -99,15 +108,19 @@ def make_segment_fn(step_fn: ContinuousStepFn, *, slots: int, beam_size: int,
                     suppress_ids: Tuple[int, ...] = (), jit: bool = True):
     """Build the segment function: harvest -> admit -> ``seg_steps`` beam steps.
 
-    Returned signature: ``segment(carry, pack, pack_offset, pack_avail,
+    Returned signature: ``segment(carry, pack, pack_avail, reset_pos,
     memory0) -> (carry, SegmentOutputs)``.
 
     ``pack``: per-study encoder outputs, FIFO-admissible on rows
-    ``pack_offset..pack_avail-1``: {'cross_k': tuple of [E, P, D], 'cross_v':
+    ``pack_pos..pack_avail-1``: {'cross_k': tuple of [E, P, D], 'cross_v':
     tuple, 'att_mask': [E, P], 'ticket': [E] int32, 'aux': [E] int32}.
-    ``memory0``: [N, S*D] relational-memory reset template. Model weights
-    belong INSIDE ``step_fn``'s closure over a jit argument (see
-    ContinuousServer) — never as trace-time constants.
+    The consumption offset ``pack_pos`` lives IN THE CARRY (device side):
+    the host can keep several segments in flight without knowing how many
+    rows each admitted — it passes ``reset_pos=True`` exactly when the pack
+    argument changes, and learns consumption later from the lagged
+    ``host_meta`` read. ``memory0``: [N, S*D] relational-memory reset
+    template. Model weights belong INSIDE ``step_fn``'s closure over a jit
+    argument (see ContinuousServer) — never as trace-time constants.
     """
     k = beam_size
     b = slots
@@ -126,10 +139,13 @@ def make_segment_fn(step_fn: ContinuousStepFn, *, slots: int, beam_size: int,
         seqs = jnp.where(pos > first_eos[:, :, None], pad_id, seqs)
         out = SegmentOutputs(harvested=harvested, tickets=carry["ticket"],
                              seqs=seqs, scores=carry["done_score"],
-                             n_admitted=jnp.zeros((), jnp.int32))
+                             n_admitted=jnp.zeros((), jnp.int32),
+                             host_meta=jnp.zeros((b + 1, 2), jnp.int32),
+                             best_seq=seqs[:, 0])
         return dict(carry, active=carry["active"] & ~harvested), out
 
-    def admit(carry, pack, pack_offset, pack_avail, memory0):
+    def admit(carry, pack, pack_avail, reset_pos, memory0):
+        pack_offset = jnp.where(reset_pos, 0, carry["pack_pos"])
         free = ~carry["active"]
         free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1           # [B]
         n_avail = jnp.maximum(pack_avail - pack_offset, 0)
@@ -164,6 +180,7 @@ def make_segment_fn(step_fn: ContinuousStepFn, *, slots: int, beam_size: int,
             done_seq=jnp.where(admitted[:, None, None], pad_id, carry["done_seq"]),
             done_score=jnp.where(admitted[:, None], NEG_INF, carry["done_score"]),
             ever_fin=jnp.where(admitted[:, None], False, carry["ever_fin"]),
+            pack_pos=pack_offset + n_admitted,
         ), n_admitted
 
     def one_step(carry, i):
@@ -188,7 +205,9 @@ def make_segment_fn(step_fn: ContinuousStepFn, *, slots: int, beam_size: int,
 
         seq = jnp.take_along_axis(carry["seq"], beam_idx[:, :, None], axis=1)
         seq = jax.lax.dynamic_update_index_in_dim(seq, tok_idx, p, axis=2)
-        dec = _gather_beams(dec, beam_idx, b, k)
+        # with an 'anc' table in dec (ancestor mode) this advances lineages at
+        # ring slot p instead of physically reordering the caches (beam.py)
+        dec = _gather_beams(dec, beam_idx, b, k, pos=p)
 
         finished = (tok_idx == eos_id) | (age == max_len - 1)[:, None]
         length = (age + 1).astype(jnp.float32)[:, None]
@@ -212,13 +231,17 @@ def make_segment_fn(step_fn: ContinuousStepFn, *, slots: int, beam_size: int,
             ever_fin=ever_fin,
         ), None
 
-    def segment(carry, pack, pack_offset, pack_avail, memory0):
+    def segment(carry, pack, pack_avail, reset_pos, memory0):
         carry, out = harvest(carry)
-        carry, n_admitted = admit(carry, pack, pack_offset, pack_avail, memory0)
+        carry, n_admitted = admit(carry, pack, pack_avail, reset_pos, memory0)
         carry, _ = jax.lax.scan(one_step, carry,
                                 jnp.arange(seg_steps, dtype=jnp.int32))
         carry = dict(carry, t=carry["t"] + seg_steps)
-        return carry, out._replace(n_admitted=n_admitted)
+        meta = jnp.concatenate([
+            jnp.stack([out.harvested.astype(jnp.int32), out.tickets], axis=1),
+            jnp.stack([n_admitted, carry["pack_pos"]])[None, :],
+        ])
+        return carry, out._replace(n_admitted=n_admitted, host_meta=meta)
 
     return jax.jit(segment, donate_argnums=(0,)) if jit else segment
 
@@ -239,7 +262,20 @@ class ContinuousServer:
     def __init__(self, model, tokenizer, state, *, max_seq_len: int = 100,
                  slots: int = 64, beam_size: int = 3, seg_steps: int = 10,
                  suppress_unk: bool = False, length_penalty: str = "",
-                 step_wrapper=None):
+                 step_wrapper=None, beam_kv: str = "auto"):
+        if getattr(model, "decoder_kind", "r2gen") != "r2gen":
+            raise NotImplementedError(
+                "continuous serving needs ring-cache (age-aware) decode steps; "
+                "only the R2Gen decoder implements them today "
+                f"(decoder_kind={model.decoder_kind!r}) — use the batch engine")
+        from types import SimpleNamespace
+
+        from evoke_tpu.train.steps import resolve_beam_kv
+
+        # same auto policy as the batch serving path: ancestor-table ring
+        # caches + the Pallas lineage kernel on TPU, reorder elsewhere
+        self._beam_kv = resolve_beam_kv(
+            SimpleNamespace(beam_kv=beam_kv, kv_cache_dtype=""), serving=True)
         self.model, self.tokenizer, self.state = model, tokenizer, state
         self.max_len = max_seq_len
         self.slots, self.k, self.seg_steps = slots, beam_size, seg_steps
@@ -268,9 +304,9 @@ class ContinuousServer:
         # weights ride a jit ARGUMENT into the step closure (a cell written at
         # trace time) — closing over them directly would bake 400M params into
         # the executable as constants
-        def seg_with_state(carry, tstate, pack, off, avail, memory0):
+        def seg_with_state(carry, tstate, pack, avail, reset_pos, memory0):
             cell[0] = tstate
-            return seg(carry, pack, off, avail, memory0)
+            return seg(carry, pack, avail, reset_pos, memory0)
 
         self._segment = jax.jit(seg_with_state, donate_argnums=(0,))
 
@@ -306,6 +342,12 @@ class ContinuousServer:
                      "batch_stats": self.state.batch_stats}
         dec0 = self.model.apply(variables, zeros_enc, n, self.max_len,
                                 method=self.model.init_decode_state)
+        if self._beam_kv == "ancestor":
+            # lineage table over RING slots: anc[s, j, t'] = physical beam row
+            # holding beam j's ancestor K/V at slot t'. Stale entries (outside
+            # a slot's age window) are masked, so admission never clears it.
+            dec0 = dict(dec0, anc=jnp.zeros((self.slots, self.k, self.max_len),
+                                            jnp.int32))
         # a distinct buffer: the carry is donated per segment call and memory0
         # rides alongside it — aliasing them trips XLA's donation check
         self._memory0 = jnp.array(dec0["memory"])
@@ -314,20 +356,38 @@ class ContinuousServer:
             self.slots, self.k, self.max_len,
             self.tokenizer.pad_id, self.tokenizer.bos_id)
 
-    def serve(self, loader, prefetch: int = 2):
+    def serve(self, loader, prefetch: int = 2, depth: int = 4,
+              readers: int = 2):
         """Generate a report per study in ``loader`` (eval-loader batches with
         host extras '_image_ids'[, '_gts', '_aux']). Returns (records, stats);
-        records are in admission (loader) order."""
+        records are in admission (loader) order.
+
+        The driver keeps up to ``depth`` segments in flight and reads each
+        segment's (host_meta, best_seq) in ONE device_get issued on a
+        ``readers``-thread pool: through a remote TPU runtime every fetch is
+        a ~27 ms round trip regardless of size (measured, DESIGN 5l), so a
+        blocking read per segment would put one RTT on the critical path of
+        every 10-step segment (~16 ms of device work) and cap the engine
+        below the batch path. Concurrent reader threads pull RTTs off the
+        dispatch path; results are still processed in dispatch order. Pack
+        consumption is device-side state (carry['pack_pos']), so dispatching
+        ahead of the reads stays exact: in-flight segments admit FIFO from
+        wherever the previous segment left off; the host only switches the
+        pack argument (reset_pos=True) once a lagged read shows the current
+        pack exhausted — at most ``depth`` segments admit nothing around a
+        switch."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from evoke_tpu.data.batching import Prefetcher, device_prefetch
         from evoke_tpu.serve import EMPTY_REPORT
 
-        pending: deque = deque()   # [pack, offset, avail]
+        pending: deque = deque()   # packs not yet current
         meta: Dict[int, Dict[str, Any]] = {}
         results: Dict[int, Dict[str, Any]] = {}
+        latencies: List[float] = []   # submit (pack encoded) -> harvest read
         next_ticket = 0
         n_done = 0
         n_total = 0
-        last_pack = None
         steps = 0
 
         batches = device_prefetch(Prefetcher(loader, prefetch), None, prefetch)
@@ -335,12 +395,13 @@ class ContinuousServer:
         t0 = time.perf_counter()
 
         def pull_pack():
+            """-> (pack, n_valid) or None when the loader is exhausted."""
             nonlocal next_ticket, n_total, loader_done
             try:
                 dev, host = next(batches)
             except StopIteration:
                 loader_done = True
-                return
+                return None
             ids = host["_image_ids"]
             gt_list = host.get("_gts")
             valid = np.asarray(dev["valid"])[: len(ids)]
@@ -350,9 +411,10 @@ class ContinuousServer:
             assert valid[:n_valid].all(), "padded anchors must trail the batch"
             pack = dict(self._encode_pack(self.state, dev))
             tickets = np.arange(next_ticket, next_ticket + e, dtype=np.int32)
+            t_submit = time.perf_counter()
             for j in range(n_valid):
                 meta[int(tickets[j])] = {
-                    "id": ids[j],
+                    "id": ids[j], "_t_submit": t_submit,
                     **({"gt": gt_list[j]} if gt_list is not None else {})}
             pack["ticket"] = jnp.asarray(tickets)
             aux = host.get("_aux")
@@ -360,40 +422,60 @@ class ContinuousServer:
                            if aux is not None else jnp.zeros(e, jnp.int32))
             next_ticket += e
             n_total += n_valid
-            pending.append([pack, 0, n_valid])
+            return pack, n_valid
 
-        pull_pack()
-        while True:
-            if not pending and not loader_done:
-                pull_pack()
-            if pending:
-                pack, off, avail = pending[0]
-            elif last_pack is not None and n_done < n_total:
-                pack, off, avail = last_pack, 0, 0       # drain: admit nothing
-            else:
-                break
-            self._ensure_carry(pack)
-            last_pack = pack
-            self._carry, out = self._segment(self._carry, self.state, pack,
-                                             jnp.int32(off), jnp.int32(avail),
-                                             self._memory0)
+        def refill_pending():
+            while not loader_done and len(pending) < max(prefetch, 1):
+                got = pull_pack()
+                if got is not None:
+                    pending.append(got)
+
+        refill_pending()
+        if not pending:
+            return [], {"reports": 0.0, "wall_s": 0.0,
+                        "reports_per_s": float("nan"), "segment_steps": 0.0}
+        cur_pack, cur_avail = pending.popleft()
+        cur_reset = True
+        self._ensure_carry(cur_pack)
+        inflight: deque = deque()   # (future, pack_id, avail_at_dispatch)
+        cur_id = 0
+        pool = ThreadPoolExecutor(max_workers=max(readers, 1))
+
+        def dispatch():
+            nonlocal cur_reset, steps
+            self._carry, out = self._segment(
+                self._carry, self.state, cur_pack, jnp.int32(cur_avail),
+                jnp.asarray(cur_reset), self._memory0)
+            cur_reset = False
             steps += self.seg_steps
-            harvested = np.asarray(out.harvested)
-            if harvested.any():
-                tickets_h = np.asarray(out.tickets)
-                seqs = np.asarray(out.seqs)
-                for s in np.nonzero(harvested)[0]:
-                    t = int(tickets_h[s])
-                    if t in meta:           # padded/invalid studies carry no meta
-                        results[t] = {**meta[t], "tokens": seqs[s, 0]}
+            fut = pool.submit(jax.device_get, (out.host_meta, out.best_seq))
+            inflight.append((fut, cur_id, cur_avail))
+
+        try:
+            while n_done < n_total:
+                while len(inflight) < depth:
+                    dispatch()
+                fut, pack_id, avail = inflight.popleft()
+                meta_h, best = fut.result()
+                t_now = time.perf_counter()
+                for s in np.nonzero(meta_h[:-1, 0])[0]:
+                    t = int(meta_h[s, 1])
+                    if t in meta and t not in results:  # padded: no meta
+                        latencies.append(t_now - meta[t].pop("_t_submit"))
+                        results[t] = {**meta[t], "tokens": best[s]}
                         n_done += 1
-            n_adm = int(out.n_admitted)
-            if pending and n_adm:
-                pending[0][1] += n_adm
-                if pending[0][1] >= pending[0][2]:
-                    pending.popleft()
-            if not pending and not loader_done:
-                pull_pack()
+                pack_pos = int(meta_h[-1, 1])
+                if pack_id == cur_id and pack_pos >= avail:
+                    refill_pending()
+                    if pending:
+                        cur_pack, cur_avail = pending.popleft()
+                        cur_id += 1
+                        cur_reset = True
+                    elif cur_avail:
+                        cur_avail = 0   # drain: reuse the pack, admit nothing
+                refill_pending()
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
         wall = time.perf_counter() - t0
         records: List[Dict[str, Any]] = []
@@ -406,4 +488,8 @@ class ContinuousServer:
         stats = {"reports": float(len(records)), "wall_s": wall,
                  "reports_per_s": len(records) / wall if wall > 0 else float("nan"),
                  "segment_steps": float(steps)}
+        if latencies:
+            lat = np.asarray(latencies)
+            stats["study_p50_ms"] = float(np.percentile(lat, 50) * 1e3)
+            stats["study_p90_ms"] = float(np.percentile(lat, 90) * 1e3)
         return records, stats

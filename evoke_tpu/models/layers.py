@@ -147,14 +147,19 @@ class MultiHeadAttention(nn.Module):
         k, v = self.wk(k_in), self.wv(v_in)
         return self.attend(q_in, k, v, mask=mask, deterministic=deterministic)
 
-    def attend_lineage(self, h, cache_k, cache_v, anc, pos):
+    def attend_lineage(self, h, cache_k, cache_v, anc, pos, age=None):
         """Ancestor-mode decode attention via the Pallas lineage kernel.
 
         h: [N, 1, D]; caches [N, L, D] (slot ``pos`` already written);
-        anc: [B, kbeam, L] int32 (layers.cached_self_attention contract)."""
+        anc: [B, kbeam, L] int32 (layers.cached_self_attention contract);
+        age: optional [N] int32 ring history lengths (continuous serving) —
+        rows of a sample share their slot's age, so only row 0 per sample
+        rides into the kernel."""
         q = self.wq(h)[:, 0, :]
+        b, kbeam = anc.shape[:2]
+        age_b = None if age is None else age.reshape(b, kbeam)[:, 0]
         ctx = lineage_attention(q, cache_k, cache_v, anc, pos, self.num_heads,
-                                interpret=lineage_interpret())
+                                interpret=lineage_interpret(), age=age_b)
         return self.wo(ctx[:, None, :])
 
 
@@ -220,9 +225,15 @@ def cached_self_attention(attn, h, cache_k, cache_v, pos, anc=None,
     its last age[r]+1 writes: slot j is readable iff (pos - j) mod L <=
     age[r]. Attention is permutation-invariant given the mask (the PE is
     added to the input embedding, never inside K/V), so rotated storage is
-    exact."""
-    if age is not None:
-        assert anc is None, "continuous ring caches use the plain (reorder) path"
+    exact.
+
+    anc + age together (ancestor-mode continuous serving): lineage masks
+    over ring time — physical slot t' is history for a row of age a iff
+    0 < (pos - t') mod L <= a, and the just-written slot is delta == 0. With
+    a == pos and no wrap this reduces EXACTLY to the plain ancestor masks
+    (delta = pos - t' for t' <= pos; slots beyond pos wrap to delta > pos
+    and mask out), so the ring form strictly generalizes the batch form."""
+    if age is not None and anc is None:
         cache_k = _dequantize(cache_k, scale_k, h.dtype)
         cache_v = _dequantize(cache_v, scale_v, h.dtype)
         lmax = cache_k.shape[1]
@@ -230,7 +241,7 @@ def cached_self_attention(attn, h, cache_k, cache_v, pos, anc=None,
         mask = (delta[None, :] <= age[:, None])[:, None, None, :]
         return attn.attend(h, cache_k, cache_v, mask=mask)
     if anc is not None and scale_k is None and use_pallas_lineage(cache_k):
-        return attn.attend_lineage(h, cache_k, cache_v, anc, pos)
+        return attn.attend_lineage(h, cache_k, cache_v, anc, pos, age=age)
     cache_k = _dequantize(cache_k, scale_k, h.dtype)
     cache_v = _dequantize(cache_v, scale_v, h.dtype)
     if anc is None:
@@ -241,10 +252,17 @@ def cached_self_attention(attn, h, cache_k, cache_v, pos, anc=None,
     k_flat = cache_k.reshape(b, kbeam * lmax, cache_k.shape[-1])
     v_flat = cache_v.reshape(b, kbeam * lmax, cache_v.shape[-1])
     t = jnp.arange(lmax)
-    hist = jax.nn.one_hot(anc, kbeam, dtype=bool) \
-        & (t < pos)[None, None, :, None]                       # [B, q, t', j]
-    self_now = jnp.eye(kbeam, dtype=bool)[:, None, :] \
-        & (t == pos)[None, :, None]                            # [q, t', j]
+    if age is None:
+        hist_t = (t < pos)[None, None, :, None]                # [1, 1, t', 1]
+        now_t = (t == pos)[None, :, None]                      # [1, t', 1]
+    else:
+        delta = jnp.mod(pos - t, lmax)                         # [L]
+        age_b = age.reshape(b, kbeam)[:, 0]                    # rows share slot age
+        hist_t = ((delta > 0)[None, :] & (delta[None, :] <= age_b[:, None])
+                  )[:, None, :, None]                          # [B, 1, t', 1]
+        now_t = (delta == 0)[None, :, None]                    # [1, t', 1]
+    hist = jax.nn.one_hot(anc, kbeam, dtype=bool) & hist_t     # [B, q, t', j]
+    self_now = jnp.eye(kbeam, dtype=bool)[:, None, :] & now_t  # [q, t', j]
     mask = (hist | self_now[None]).transpose(0, 1, 3, 2)       # [B, q, j, t']
     mask = mask.reshape(b, 1, kbeam, kbeam * lmax)
     return attn.attend(h, k_flat, v_flat, mask=mask)

@@ -45,7 +45,25 @@ import jax.numpy as jnp
 NEG_INF = -1e9
 
 
-def _kernel(pos_ref, q_ref, k_ref, v_ref, anc_ref, out_ref, *, num_heads: int):
+def _ring_masks(pos, age_ref, qsamp, tvec, G, kbeam, L):
+    """hist/now masks in RING time: slot t' is history for a query row of
+    age a iff 0 < (pos - t') mod L <= a, and "now" iff (pos - t') mod L == 0.
+    Batch beam mode passes age == pos, which reduces exactly to the old
+    (t' < pos, t' == pos) masks: delta = pos - t' for t' <= pos, and slots
+    beyond pos wrap to delta > pos = age. The mod is computed as a
+    conditional add (no vector integer division for Mosaic)."""
+    delta = pos - tvec
+    delta = jnp.where(delta < 0, delta + L, delta)             # [gk, L]
+    age2 = jnp.zeros(qsamp.shape, jnp.int32)
+    for i in range(G):                                         # SMEM scalar reads
+        age2 = jnp.where(qsamp == i, age_ref[i, 0], age2)
+    hist = (delta > 0) & (delta <= age2)
+    now = delta == 0
+    return hist, now
+
+
+def _kernel(pos_ref, age_ref, q_ref, k_ref, v_ref, anc_ref, out_ref, *,
+            num_heads: int):
     """G samples: q [G, kbeam, D], caches [G, kbeam, L, D], anc [G, kbeam, L].
 
     G samples share one grid program so the per-program cost (DMA issue,
@@ -69,8 +87,7 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, anc_ref, out_ref, *, num_heads: int):
     qsamp = jax.lax.broadcasted_iota(jnp.int32, (G, kbeam, L), 0).reshape(gk, L)
     qbeam = jax.lax.broadcasted_iota(jnp.int32, (G, kbeam, L), 1).reshape(gk, L)
     tvec = jax.lax.broadcasted_iota(jnp.int32, (G, kbeam, L), 2).reshape(gk, L)
-    hist = tvec < pos
-    now = tvec == pos
+    hist, now = _ring_masks(pos, age_ref, qsamp, tvec, G, kbeam, L)
     # key rows are flattened (sample, physical-beam, t)-major: r = (g*kbeam+j)*L + t.
     # A query row attends only its own sample's block (block-diagonal mask).
     # The pieces are materialized as f32 {0,1} before the concat: Mosaic
@@ -102,8 +119,8 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, anc_ref, out_ref, *, num_heads: int):
     out_ref[...] = jnp.concatenate(outs, axis=1).reshape(G, kbeam, D)
 
 
-def _kernel_fused_heads(pos_ref, q_ref, k_ref, v_ref, anc_ref, out_ref, *,
-                        num_heads: int):
+def _kernel_fused_heads(pos_ref, age_ref, q_ref, k_ref, v_ref, anc_ref,
+                        out_ref, *, num_heads: int):
     """Same math as ``_kernel`` with ALL heads in one dot pair.
 
     The per-head loop issues 2*num_heads tiny dots + num_heads softmax chains
@@ -127,8 +144,7 @@ def _kernel_fused_heads(pos_ref, q_ref, k_ref, v_ref, anc_ref, out_ref, *,
     qsamp = jax.lax.broadcasted_iota(jnp.int32, (G, kbeam, L), 0).reshape(gk, L)
     qbeam = jax.lax.broadcasted_iota(jnp.int32, (G, kbeam, L), 1).reshape(gk, L)
     tvec = jax.lax.broadcasted_iota(jnp.int32, (G, kbeam, L), 2).reshape(gk, L)
-    hist = tvec < pos
-    now = tvec == pos
+    hist, now = _ring_masks(pos, age_ref, qsamp, tvec, G, kbeam, L)
     pieces = []
     for jj in range(gk):
         g, j = divmod(jj, kbeam)
@@ -187,15 +203,19 @@ def _kernel_for(g: int, kbeam: int):
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def lineage_attention(q, cache_k, cache_v, anc, pos, num_heads: int,
-                      interpret: bool = False):
+                      interpret: bool = False, age=None):
     """Beam-lineage cached self-attention (post-projection, pre-output-proj).
 
     q:        [N, D]   this step's projected queries (N = B*kbeam, sample-major)
     cache_k:  [N, L, D] un-permuted K cache (slot ``pos`` already written)
     cache_v:  [N, L, D] un-permuted V cache
     anc:      [B, kbeam, L] int32 — anc[s, b, t] = physical beam row (within
-              sample s) holding beam b's ancestor K/V at time t (< pos)
-    pos:      scalar int32 current step
+              sample s) holding beam b's ancestor K/V at slot t
+    pos:      scalar int32 current step (physical ring slot in age mode)
+    age:      optional [B] int32 — ring-cache mode (continuous serving):
+              per-sample history length; slot t' is valid history iff
+              0 < (pos - t') mod L <= age. None = batch beam mode (the
+              kernel then runs the identical ring math with age = pos).
     Returns the attention context [N, D] in q.dtype (apply wo outside).
     """
     from jax.experimental import pallas as pl
@@ -207,6 +227,8 @@ def lineage_attention(q, cache_k, cache_v, anc, pos, num_heads: int,
         f"shape mismatch: q {q.shape}, cache {cache_k.shape}, anc {anc.shape}"
     g = _samples_per_block(b, kbeam, lmax, d, cache_k.dtype.itemsize)
     pos_arr = jnp.full((1, 1), pos, jnp.int32)
+    age_arr = (jnp.full((b, 1), pos, jnp.int32) if age is None
+               else age.astype(jnp.int32).reshape(b, 1))
     # explicit sample axis: TPU block shapes must equal the array's trailing
     # dims, and kbeam (3) is not a legal sublane count on its own
     q4 = q.reshape(b, kbeam, d)
@@ -217,6 +239,7 @@ def lineage_attention(q, cache_k, cache_v, anc, pos, num_heads: int,
         grid=(b // g,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, 1), lambda s: (s, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((g, kbeam, d), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, kbeam, lmax, d), lambda s: (s, 0, 0, 0),
@@ -239,7 +262,7 @@ def lineage_attention(q, cache_k, cache_v, anc, pos, num_heads: int,
             bytes_accessed=b * bytes_kv,
             transcendentals=n * g * kbeam * lmax),
         interpret=interpret,
-    )(pos_arr, q4, k4, v4, anc)
+    )(pos_arr, age_arr, q4, k4, v4, anc)
     return out.reshape(n, d)
 
 

@@ -155,3 +155,28 @@ class TestServeCLI:
         assert rows[0] == ["images_id", "generated_reports", "ground_truth"]
         assert len(rows) == 4  # header + 3 test studies
         assert all(r[1].strip() for r in rows[1:])  # every study got a report
+
+    def test_serve_continuous_engine_matches_batch(self, tmp_path, capsys):
+        """--decode.engine continuous serves every study through the
+        ring-cache engine and produces the same reports as the batch engine
+        (decode/continuous.py parity, exercised through the CLI surface)."""
+        root = str(tmp_path)
+        ann = write_synthetic_dataset(root, n_train=4, n_val=2, n_test=3, image_size=32)
+        results = {}
+        for engine, version in (("batch", "srvb"), ("continuous", "srvc")):
+            rc = cli_main(["serve", "--data.ann_path", ann, "--data.image_dir", root,
+                           "--data.tokenizer_dir", os.path.join(root, "tok"),
+                           "--trainer.result_dir", os.path.join(root, "results"),
+                           "--trainer.version", version,
+                           "--decode.engine", engine,
+                           "--decode.slots", "2", "--decode.seg_steps", "4",
+                           "--trainer.seed", "7"] + TINY)
+            assert rc == 0
+            out_lines = [l for l in capsys.readouterr().out.splitlines()
+                         if l.startswith("{")]
+            stats = json.loads(out_lines[-1])
+            assert stats["reports"] == 3 and stats["reports_per_s"] > 0
+            import csv as _csv
+            rows = list(_csv.reader(open(stats["prediction_csv"])))
+            results[engine] = {r[0]: r[1] for r in rows[1:]}
+        assert results["continuous"] == results["batch"]

@@ -88,25 +88,34 @@ def run_engine(codes, slots=3, seg_steps=4, length_penalty="", pack_size=4):
 
     results = {}
     guard = 0
+    reset = True
     while len(results) < len(codes):
         guard += 1
         assert guard < 200, "engine failed to converge"
         if packs:
-            pack, off, avail = packs[0]
+            pack, _, avail = packs[0]
         else:
-            pack, off, avail = last_pack, 0, 0
-        carry, out = seg(carry, pack, jnp.int32(off), jnp.int32(avail), memory0)
+            pack, avail = last_pack, 0
+        carry, out = seg(carry, pack, jnp.int32(avail), jnp.asarray(reset),
+                         memory0)
+        reset = False
         last_pack = pack
         harvested = np.asarray(out.harvested)
         tickets = np.asarray(out.tickets)
+        # host_meta mirrors (harvested, tickets) for the one-fetch driver
+        meta_h = np.asarray(out.host_meta)
+        np.testing.assert_array_equal(meta_h[:-1, 0].astype(bool), harvested)
+        np.testing.assert_array_equal(meta_h[:-1, 1], tickets)
+        assert meta_h[-1, 0] == int(out.n_admitted)
         for s in np.nonzero(harvested)[0]:
             t = int(tickets[s])
             results[codes[t]] = (np.asarray(out.seqs[s]), np.asarray(out.scores[s]))
-        n_adm = int(out.n_admitted)
-        if packs and n_adm:
-            packs[0][1] += n_adm
-            if packs[0][1] >= packs[0][2]:
-                packs.pop(0)
+            np.testing.assert_array_equal(np.asarray(out.best_seq[s]),
+                                          np.asarray(out.seqs[s, 0]))
+        pack_pos = int(meta_h[-1, 1])
+        if packs and pack_pos >= packs[0][2]:
+            packs.pop(0)
+            reset = True
     return results
 
 
@@ -147,14 +156,17 @@ class TestEngineVsBeamSearch:
               "att_mask": jnp.ones((3, 1), jnp.int32),
               "ticket": jnp.asarray([10, 11, 12], jnp.int32),
               "aux": jnp.asarray([0, 1, 2], jnp.int32)}
-        carry, out = seg(carry, pk, jnp.int32(0), jnp.int32(2), memory0)
+        carry, out = seg(carry, pk, jnp.int32(2), jnp.asarray(True), memory0)
         assert int(out.n_admitted) == 2          # avail caps admission
         assert not np.asarray(out.harvested).any()
         assert np.asarray(carry["active"]).sum() == 2
         assert list(np.asarray(carry["ticket"])[:2]) == [10, 11]
-        carry, out = seg(carry, pk, jnp.int32(2), jnp.int32(3), memory0)
+        assert int(carry["pack_pos"]) == 2       # device-side consumption offset
+        # no reset: the next segment resumes from the carry's pack_pos
+        carry, out = seg(carry, pk, jnp.int32(3), jnp.asarray(False), memory0)
         assert int(out.n_admitted) == 1          # remaining row fills slot 2
         assert np.asarray(carry["active"]).sum() == 3
+        assert int(np.asarray(out.host_meta)[-1, 1]) == 3
 
 
 def _tiny_setup(tmp_path, n_test=5, beam=2):
@@ -226,6 +238,30 @@ class TestContinuousServerModel:
             assert "gt" in rec
         assert stats["reports"] == len(records)
         assert stats["reports_per_s"] > 0
+        # per-study submit->harvest latency (the serving p50 the bench reports)
+        assert stats["study_p50_ms"] > 0
+        assert stats["study_p90_ms"] >= stats["study_p50_ms"]
+
+    def test_ancestor_mode_matches_reorder(self, tmp_path, monkeypatch):
+        """beam_kv='ancestor' (ring lineage tables advanced at the physical
+        write slot, anc+age combined masks) serves token-identical reports to
+        the reorder engine — through both the XLA ancestor formulation and
+        the Pallas ring kernel (interpret mode on CPU)."""
+        from evoke_tpu.decode.continuous import ContinuousServer
+
+        model, tok, state, loader, examples = _tiny_setup(tmp_path)
+        base = ContinuousServer(model, tok, state, max_seq_len=16, slots=2,
+                                beam_size=2, seg_steps=4)
+        recs, _ = base.serve(loader)
+        golden = {r["id"]: r["report"] for r in recs}
+        assert len(golden) == len(examples)
+        for kernel in ("xla", "pallas"):
+            monkeypatch.setenv("EVOKE_LINEAGE_KERNEL", kernel)
+            anc = ContinuousServer(model, tok, state, max_seq_len=16, slots=2,
+                                   beam_size=2, seg_steps=4,
+                                   beam_kv="ancestor")
+            arecs, _ = anc.serve(loader)
+            assert {r["id"]: r["report"] for r in arecs} == golden, kernel
 
     def test_rotation_invariance(self, tmp_path):
         """The same study admitted at different ring offsets produces the
