@@ -365,7 +365,7 @@ class ContinuousServer:
         The driver keeps up to ``depth`` segments in flight and reads each
         segment's (host_meta, best_seq) in ONE device_get issued on a
         ``readers``-thread pool: through a remote TPU runtime every fetch is
-        a ~27 ms round trip regardless of size (measured, DESIGN 5l), so a
+        a ~30 ms round trip regardless of size (measured, DESIGN 5l), so a
         blocking read per segment would put one RTT on the critical path of
         every 10-step segment (~16 ms of device work) and cap the engine
         below the batch path. Concurrent reader threads pull RTTs off the
