@@ -12,7 +12,10 @@ ALL FIVE metric families in one budgeted run (VERDICT r2 weak #1):
 4. train-step studies/sec;
 5. an ANALYTIC roofline per decode config: FLOPs + HBM bytes from the model
    dimensions (no re-trace, no cost_analysis undercount), reported as % of
-   v5e peak (197 TFLOP/s bf16, 819 GB/s HBM) next to the measured times.
+   v5e peak (197 TFLOP/s bf16, 819 GB/s HBM) next to the measured times;
+6. a serving-engine A/B on a MIMIC-like length mix (batch engine pays
+   max-of-batch, the continuous engine pays ~mean occupancy) with forced
+   per-study lengths — identical workload, full model compute per step.
 
 Prints one JSON line PER measurement; the LAST line is the headline 224
 number with ``vs_baseline`` pinned to round 1's 235.216 reports/s.
@@ -383,6 +386,154 @@ def _encoder_time(model, variables, state, batch, n_anchor, iters) -> float:
     return (time.perf_counter() - t0) / n_calls
 
 
+def bench_engines(image_size, deadline=None, model=None, init_variables=None):
+    """Serving-engine A/B on a controlled length mix: batch vs continuous.
+
+    Real serving decodes variable-length reports; the batch engine
+    (serve.ReportServer) holds every slot until its batch's SLOWEST study
+    finishes, while the continuous engine (decode/continuous.py) re-admits
+    freed slots at segment boundaries, so its loop occupancy tracks the MEAN
+    length. Per-study lengths are forced through the load-testing hooks
+    (make_generate_step(logits_hook=...) / ContinuousServer(step_wrapper=...))
+    so both engines decode the IDENTICAL workload with full model compute per
+    step. Mix: clipped lognormal (median 55 tokens, sigma 0.45, clip
+    [15, GEN_LEN]) — MIMIC-like report lengths; mean ~58, ~9% hit the cap,
+    so nearly every batch of 64 pays the full GEN_LEN while the continuous
+    engine pays ~mean.
+    """
+    import jax
+    import jax.numpy as jnp
+    from collections import deque
+
+    from evoke_tpu.core.config import DecodeConfig
+    from evoke_tpu.decode.continuous import ContinuousServer
+    from evoke_tpu.train.steps import TrainState, make_generate_step
+    from __graft_entry__ import _example_batch, _flagship
+
+    class _Tok:
+        bos_id, eos_id, pad_id, unk_id = VOCAB - 2, VOCAB - 1, 0, 4
+
+        def get_vocab_size(self):
+            return VOCAB
+
+        def decode(self, ids):
+            # one char per token up to and including EOS (PAD-stripped), so
+            # len(report) == the study's decoded token count
+            n = 0
+            for t in ids:
+                n += 1
+                if t == self.eos_id:
+                    break
+            return "x" * n
+
+    beam = 3
+    b = int(os.environ.get("BENCH_SLOTS", 64))
+    seg_steps = int(os.environ.get("BENCH_SEG_STEPS", 10))
+    n_passes = max(int(os.environ.get("BENCH_ENGINE_STUDIES", 1024)) // b, 2)
+    n_studies = n_passes * b
+    mix = np.clip(np.round(np.random.default_rng(7).lognormal(
+        np.log(55.0), 0.45, n_studies)), 15, GEN_LEN).astype(np.int32)
+    tl = mix.reshape(n_passes, b)
+    eos = _Tok.eos_id
+
+    model = model or _flagship(vocab_size=VOCAB)
+    batch = _example_batch(np.random.default_rng(0), b, b, image_size, GEN_LEN, VOCAB)
+    if init_variables is None:
+        init_variables = jax.jit(lambda k, d=batch: model.init(
+            k, d["images"], d["ids"], d["mask"], d["pids"], d["valid"],
+            d["inc_ids"], d["inc_mask"], method=model.warmup))(jax.random.key(0))
+    variables = init_variables
+    state = TrainState(step=0, params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}), opt_state=None)
+    batch = jax.device_put(batch)
+
+    def _force(scores, age_rows, tgt_rows):
+        isv = jnp.arange(scores.shape[1]) == eos
+        at_end = (age_rows == tgt_rows - 1)[:, None] & isv[None]
+        before = (age_rows < tgt_rows - 1)[:, None] & isv[None]
+        big = jnp.asarray(3e4, scores.dtype)   # bf16-safe forced-EOS bias
+        return jnp.where(at_end, big, jnp.where(before, -big, scores))
+
+    # --- batch engine: same steady-state pipeline as the headline, forced mix
+    def hook(scores, tok, pos, bt):
+        tgt = jnp.repeat(bt["target_len"], scores.shape[0] // b)
+        return _force(scores, jnp.full(scores.shape[:1], pos, jnp.int32), tgt)
+
+    cfg = DecodeConfig(beam_size=beam,
+                       cache_phases=int(os.environ.get("BENCH_CACHE_PHASES", 8)))
+    gen = make_generate_step(model, _Tok(), cfg, GEN_LEN, with_indication=True,
+                             serving=True, logits_hook=hook)
+    bt0 = dict(batch, target_len=jnp.asarray(tl[0]))
+    seqs = np.asarray(gen(state, bt0))  # compile + warmup + length check
+    got_len = (seqs[:, :] == eos).argmax(axis=1) + 1
+    assert (got_len == tl[0]).all(), "forced lengths not honored (batch engine)"
+
+    q, lats = deque(), []
+    t0 = time.perf_counter()
+    for i in range(n_passes):
+        bt = dict(batch, target_len=jnp.asarray(tl[i]))
+        q.append((time.perf_counter(), gen(state, bt)))
+        if len(q) > 2:
+            ts, out = q.popleft()
+            np.asarray(out)
+            lats.append(time.perf_counter() - ts)
+    while q:
+        ts, out = q.popleft()
+        np.asarray(out)
+        lats.append(time.perf_counter() - ts)
+    wall_b = time.perf_counter() - t0
+    batch_rps = n_studies / wall_b
+    _emit(f"reports/sec/chip @ {image_size}px beam=3 batch engine, lognormal "
+          f"length mix mean {mix.mean():.0f} cap {GEN_LEN} (bf16, vocab {VOCAB}, "
+          f"batch {b}: pays max-of-batch, p50 batch latency "
+          f"{np.percentile(lats, 50) * 1e3:.0f} ms)",
+          batch_rps, "reports/s",
+          vs=batch_rps / BASELINE_RPS if image_size == 224 else None)
+
+    if deadline is not None and time.perf_counter() > deadline:
+        print("# engines: continuous skipped: budget spent", file=sys.stderr)
+        return
+
+    # --- continuous engine: identical workload via the aux channel
+    def step_wrapper(raw_step):
+        def step(tok, p, age_rows, dec, att_mask, aux, tstate):
+            logits, dec = raw_step(tok, p, age_rows, dec, att_mask, aux, tstate)
+            return _force(logits, age_rows, jnp.repeat(aux, beam)), dec
+        return step
+
+    dispatch_segs = int(os.environ.get("BENCH_DISPATCH_SEGS", 4))
+    srv = ContinuousServer(model, _Tok(), state, max_seq_len=GEN_LEN, slots=b,
+                           beam_size=beam, seg_steps=seg_steps,
+                           dispatch_segs=dispatch_segs,
+                           step_wrapper=step_wrapper)
+
+    class _Loader:
+        def __iter__(self):
+            for i in range(n_passes):
+                yield {**batch,
+                       "_image_ids": [f"s{i}_{j}" for j in range(b)],
+                       "_aux": tl[i]}
+
+    recs, st = srv.serve(_Loader())  # first pass pays the segment compile
+    assert len(recs) == n_studies, (len(recs), n_studies)
+    lens = {r["id"]: len(r["report"]) for r in recs}
+    want = {f"s{i}_{j}": int(tl[i, j]) for i in range(n_passes) for j in range(b)}
+    bad = [k for k in want if lens[k] != want[k]]
+    assert not bad, f"forced lengths not honored (continuous): {bad[:5]}"
+    recs, st = srv.serve(_Loader())  # measured pass, compile-warm
+    cont_rps = st["reports_per_s"]
+    _emit(f"steady-state reports/sec/chip @ {image_size}px beam=3 continuous "
+          f"batching, lognormal length mix mean {mix.mean():.0f} cap {GEN_LEN} "
+          f"(bf16, vocab {VOCAB}, slots {b}, seg {seg_steps}x{dispatch_segs}, "
+          f"{st['segment_steps']:.0f} decode steps for {n_studies} studies)",
+          cont_rps, "reports/s",
+          vs=cont_rps / BASELINE_RPS if image_size == 224 else None)
+    if "study_p50_ms" in st:
+        _emit(f"p50 per-study report latency @ {image_size}px beam=3 "
+              f"(continuous, slots {b}, submit->harvest; p90 "
+              f"{st['study_p90_ms']:.0f} ms)", st["study_p50_ms"], "ms")
+
+
 def analytic_train_flops(variables, model, image_size, n_anchor, n_images,
                          seq_len, vocab):
     """Analytic FLOPs for ONE finetune train step (fwd + bwd ~= 3x forward).
@@ -630,11 +781,13 @@ def main():
         what = sys.argv[sys.argv.index("--only") + 1]
         deadline = time.perf_counter() + budget_s
         if what in ("core224", "core224+train"):
+            child_end = time.perf_counter() + budget_s
             if what == "core224+train":
                 # partition the child budget: decode (and its OPTIONAL
                 # encoder-split timing, which respects the deadline) must
-                # leave the train tail its ~40s marginal cost
-                deadline = time.perf_counter() + 0.65 * budget_s
+                # leave the train tail its ~40s marginal cost and the
+                # engine-A/B tail its ~40s warm cost
+                deadline = time.perf_counter() + 0.55 * budget_s
             # default: the measured steady-state-best batch only (sweep with
             # BENCH_BATCHES_224=32,64,128 when exploring). Under reorder-mode
             # caches the optimum was sharply 32 (device time grew
@@ -656,6 +809,19 @@ def main():
                 _, model, variables = out
                 bench_train(224, [train_batch], iters, deadline=deadline,
                             model=model, init_variables=variables)
+                # serving-engine A/B rides the same init too; its compiles
+                # are persistent-cache-warm after one rehearsal, so the warm
+                # marginal cost is ~40s. BENCH_ENGINES=0 disables.
+                if os.environ.get("BENCH_ENGINES", "1") != "0":
+                    try:
+                        bench_engines(224, deadline=child_end, model=model,
+                                      init_variables=variables)
+                    except Exception as e:
+                        print(f"# engines skipped: {type(e).__name__}: {e}",
+                              file=sys.stderr)
+        elif what == "engines":
+            bench_engines(int(os.environ.get("BENCH_IMAGE_SIZE", 224)),
+                          deadline=deadline)
         elif what == "core384":
             bench_decode(384, [int(x) for x in
                                os.environ.get("BENCH_BATCHES_384", "48").split(",")],

@@ -147,6 +147,10 @@ class DecodeConfig:
     engine: str = "batch"                        # batch | continuous
     slots: int = 64                              # continuous: decode slots (studies in flight)
     seg_steps: int = 10                          # continuous: decode steps between harvests
+    # continuous: harvest->admit->decode segments run back-to-back per device
+    # dispatch (admission stays on device; ONE host fetch per dispatch — the
+    # remote-runtime RTT amortizer, decode/continuous.py)
+    dispatch_segs: int = 4
 
 
 @dataclass

@@ -261,8 +261,9 @@ class ContinuousServer:
 
     def __init__(self, model, tokenizer, state, *, max_seq_len: int = 100,
                  slots: int = 64, beam_size: int = 3, seg_steps: int = 10,
-                 suppress_unk: bool = False, length_penalty: str = "",
-                 step_wrapper=None, beam_kv: str = "auto"):
+                 dispatch_segs: int = 4, suppress_unk: bool = False,
+                 length_penalty: str = "", step_wrapper=None,
+                 beam_kv: str = "auto"):
         if getattr(model, "decoder_kind", "r2gen") != "r2gen":
             raise NotImplementedError(
                 "continuous serving needs ring-cache (age-aware) decode steps; "
@@ -303,10 +304,26 @@ class ContinuousServer:
 
         # weights ride a jit ARGUMENT into the step closure (a cell written at
         # trace time) — closing over them directly would bake 400M params into
-        # the executable as constants
+        # the executable as constants.
+        #
+        # One dispatch runs ``dispatch_segs`` harvest->admit->decode segments
+        # back-to-back in an outer lax.scan: admission is DEVICE-side state
+        # (pack_pos rides the carry and the pack rows are already on device),
+        # so slots freed mid-dispatch are re-admitted with no host round trip.
+        # The host reads ONE stacked (host_meta, best_seq) per dispatch —
+        # through a remote runtime each dispatch/fetch costs a ~30-60 ms RTT
+        # regardless of payload (DESIGN 5l), so this divides the per-segment
+        # overhead by R while keeping the admission cadence at seg_steps.
+        self.dispatch_segs = r = max(int(dispatch_segs), 1)
+
         def seg_with_state(carry, tstate, pack, avail, reset_pos, memory0):
             cell[0] = tstate
-            return seg(carry, pack, avail, reset_pos, memory0)
+
+            def body(c, i):
+                c, out = seg(c, pack, avail, reset_pos & (i == 0), memory0)
+                return c, (out.host_meta, out.best_seq)
+
+            return jax.lax.scan(body, carry, jnp.arange(r, dtype=jnp.int32))
 
         self._segment = jax.jit(seg_with_state, donate_argnums=(0,))
 
@@ -362,20 +379,21 @@ class ContinuousServer:
         host extras '_image_ids'[, '_gts', '_aux']). Returns (records, stats);
         records are in admission (loader) order.
 
-        The driver keeps up to ``depth`` segments in flight and reads each
-        segment's (host_meta, best_seq) in ONE device_get issued on a
-        ``readers``-thread pool: through a remote TPU runtime every fetch is
-        a ~30 ms round trip regardless of size (measured, DESIGN 5l), so a
-        blocking read per segment would put one RTT on the critical path of
-        every 10-step segment (~16 ms of device work) and cap the engine
-        below the batch path. Concurrent reader threads pull RTTs off the
-        dispatch path; results are still processed in dispatch order. Pack
-        consumption is device-side state (carry['pack_pos']), so dispatching
-        ahead of the reads stays exact: in-flight segments admit FIFO from
-        wherever the previous segment left off; the host only switches the
-        pack argument (reset_pos=True) once a lagged read shows the current
-        pack exhausted — at most ``depth`` segments admit nothing around a
-        switch."""
+        The driver keeps up to ``depth`` dispatches in flight — each runs
+        ``dispatch_segs`` harvest->admit->decode segments on device — and
+        reads each dispatch's stacked (host_meta, best_seq) in ONE device_get
+        issued on a ``readers``-thread pool: through a remote TPU runtime
+        every dispatch/fetch is a ~30-60 ms round trip regardless of size
+        (measured, DESIGN 5l), so a blocking read per segment would put one
+        RTT on the critical path of every 10-step segment (~16 ms of device
+        work) and cap the engine below the batch path. Concurrent reader
+        threads pull RTTs off the dispatch path; results are still processed
+        in dispatch order. Pack consumption is device-side state
+        (carry['pack_pos']), so dispatching ahead of the reads stays exact:
+        in-flight segments admit FIFO from wherever the previous segment left
+        off; the host only switches the pack argument (reset_pos=True) once a
+        lagged read shows the current pack exhausted — at most
+        ``depth * dispatch_segs`` segments admit nothing around a switch."""
         from concurrent.futures import ThreadPoolExecutor
 
         from evoke_tpu.data.batching import Prefetcher, device_prefetch
@@ -447,8 +465,8 @@ class ContinuousServer:
                 self._carry, self.state, cur_pack, jnp.int32(cur_avail),
                 jnp.asarray(cur_reset), self._memory0)
             cur_reset = False
-            steps += self.seg_steps
-            fut = pool.submit(jax.device_get, (out.host_meta, out.best_seq))
+            steps += self.seg_steps * self.dispatch_segs
+            fut = pool.submit(jax.device_get, out)
             inflight.append((fut, cur_id, cur_avail))
 
         try:
@@ -456,15 +474,16 @@ class ContinuousServer:
                 while len(inflight) < depth:
                     dispatch()
                 fut, pack_id, avail = inflight.popleft()
-                meta_h, best = fut.result()
+                metas, bests = fut.result()   # [R, B+1, 2], [R, B, L]
                 t_now = time.perf_counter()
-                for s in np.nonzero(meta_h[:-1, 0])[0]:
-                    t = int(meta_h[s, 1])
-                    if t in meta and t not in results:  # padded: no meta
-                        latencies.append(t_now - meta[t].pop("_t_submit"))
-                        results[t] = {**meta[t], "tokens": best[s]}
-                        n_done += 1
-                pack_pos = int(meta_h[-1, 1])
+                for meta_h, best in zip(metas, bests):
+                    for s in np.nonzero(meta_h[:-1, 0])[0]:
+                        t = int(meta_h[s, 1])
+                        if t in meta and t not in results:  # padded: no meta
+                            latencies.append(t_now - meta[t].pop("_t_submit"))
+                            results[t] = {**meta[t], "tokens": best[s]}
+                            n_done += 1
+                pack_pos = int(metas[-1][-1, 1])
                 if pack_id == cur_id and pack_pos >= avail:
                     refill_pending()
                     if pending:

@@ -51,12 +51,21 @@ def _ring_masks(pos, age_ref, qsamp, tvec, G, kbeam, L):
     Batch beam mode passes age == pos, which reduces exactly to the old
     (t' < pos, t' == pos) masks: delta = pos - t' for t' <= pos, and slots
     beyond pos wrap to delta > pos = age. The mod is computed as a
-    conditional add (no vector integer division for Mosaic)."""
+    conditional add (no vector integer division for Mosaic).
+
+    ``age_ref`` is the FULL [B, 1] SMEM array (a blocked (G, 1) spec is
+    illegal for G < 8: Mosaic requires the sublane block dim to be divisible
+    by 8 or equal to the array's — found compiling the flagship batch-64
+    G=4 config on a real v5e); each program reads its G rows at a dynamic
+    scalar offset."""
+    from jax.experimental import pallas as pl
+
     delta = pos - tvec
     delta = jnp.where(delta < 0, delta + L, delta)             # [gk, L]
+    base = pl.program_id(0) * G
     age2 = jnp.zeros(qsamp.shape, jnp.int32)
     for i in range(G):                                         # SMEM scalar reads
-        age2 = jnp.where(qsamp == i, age_ref[i, 0], age2)
+        age2 = jnp.where(qsamp == i, age_ref[base + i, 0], age2)
     hist = (delta > 0) & (delta <= age2)
     now = delta == 0
     return hist, now
@@ -239,7 +248,8 @@ def lineage_attention(q, cache_k, cache_v, anc, pos, num_heads: int,
         grid=(b // g,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda s: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((g, 1), lambda s: (s, 0), memory_space=pltpu.SMEM),
+            # full array: each program offsets by program_id (see _ring_masks)
+            pl.BlockSpec((b, 1), lambda s: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((g, kbeam, d), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, kbeam, lmax, d), lambda s: (s, 0, 0, 0),

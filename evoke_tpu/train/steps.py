@@ -129,13 +129,21 @@ def resolve_beam_kv(decode_cfg, serving: bool) -> str:
 
 
 def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
-                       with_indication: bool = False, serving: bool = False):
+                       with_indication: bool = False, serving: bool = False,
+                       logits_hook=None):
     """Returns a jitted (state, batch) -> seq [B, L] generation step.
 
     Dispatches to beam search (beam_size > 1) or greedy/sampling, mirroring
     att_model._sample's dispatch (att_model.py:151-155). ``serving=True``
     resolves cache_phases=0 (auto) to the measured-fastest phased schedule;
     eval paths resolve to single-phase for bit-comparable outputs.
+
+    ``logits_hook(scores, tok, pos, batch) -> scores`` rewrites each step's
+    per-row scores ([N, V] raw logits on the beam path, log-probs on the
+    greedy/sample path; rows sample-major x beam) before token selection.
+    Load-testing surface: bench.py forces EOS at per-study target lengths
+    (read from the batch) to measure serving engines under a controlled
+    length distribution; None (the default) is the production path.
     """
     beam = decode_cfg.beam_size
     vocab = tokenizer.get_vocab_size() + 1
@@ -176,8 +184,11 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                 bdash = beam // groups
 
                 def step_g(tok, pos, dstate):
-                    return model.apply(variables, tok, pos, dstate, att_mask,
-                                       method=model.decode_step)
+                    out = model.apply(variables, tok, pos, dstate, att_mask,
+                                      method=model.decode_step)
+                    if logits_hook is not None:
+                        out = (logits_hook(out[0], tok, pos, batch), out[1])
+                    return out
 
                 states = [model.apply(variables, enc, b * bdash, max_seq_len,
                                       method=model.init_decode_state)
@@ -194,8 +205,11 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
             # raw-logits two-stage top-k (exact; see beam_search docstring):
             # skips the [N, V] f32 log_softmax in the loop — a large-vocab win
             def step(tok, pos, dstate):
-                return model.apply(variables, tok, pos, dstate, att_mask,
-                                   return_logits=True, method=model.decode_step)
+                out = model.apply(variables, tok, pos, dstate, att_mask,
+                                  return_logits=True, method=model.decode_step)
+                if logits_hook is not None:
+                    out = (logits_hook(out[0], tok, pos, batch), out[1])
+                return out
 
             res = beam_search(step, state0, b, beam_size=beam,
                               length_penalty=decode_cfg.length_penalty,
@@ -208,8 +222,11 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                              method=model.init_decode_state)
 
         def step(tok, pos, dstate):
-            return model.apply(variables, tok, pos, dstate, att_mask,
-                               method=model.decode_step)
+            out = model.apply(variables, tok, pos, dstate, att_mask,
+                              method=model.decode_step)
+            if logits_hook is not None:
+                out = (logits_hook(out[0], tok, pos, batch), out[1])
+            return out
 
         # sampling-method parity with caption_model.py:363-401: "topN" strings
         # encode the cutoff (N >= 1 -> top-k, 0 < N < 1 -> nucleus), "gumbel"

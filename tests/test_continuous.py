@@ -278,3 +278,64 @@ class TestContinuousServerModel:
         rb, _ = b.serve(loader)
         assert {r["id"]: r["report"] for r in ra} == \
                {r["id"]: r["report"] for r in rb}
+
+    def test_forced_length_hooks_agree_across_engines(self, tmp_path):
+        """The load-testing hooks (make_generate_step(logits_hook=...) and
+        ContinuousServer(step_wrapper=...)) force per-study lengths, and the
+        two engines decode the IDENTICAL workload to identical tokens — the
+        contract bench.py's engine A/B rests on."""
+        from evoke_tpu.core.config import DecodeConfig
+        from evoke_tpu.decode.continuous import ContinuousServer
+        from evoke_tpu.train.steps import make_generate_step
+
+        model, tok, state, loader, examples = _tiny_setup(tmp_path, n_test=5)
+        eos = tok.eos_id
+        targets = {ex.id: 3 + (i % 4) for i, ex in enumerate(examples)}
+
+        def force(scores, age_rows, tgt_rows):
+            isv = jnp.arange(scores.shape[1]) == eos
+            at_end = (age_rows == tgt_rows - 1)[:, None] & isv[None]
+            before = (age_rows < tgt_rows - 1)[:, None] & isv[None]
+            big = jnp.asarray(3e4, scores.dtype)
+            return jnp.where(at_end, big, jnp.where(before, -big, scores))
+
+        def hook(scores, tok_ids, pos, batch):
+            tgt = jnp.repeat(batch["target_len"],
+                             scores.shape[0] // batch["target_len"].shape[0])
+            return force(scores, jnp.full(scores.shape[:1], pos, jnp.int32), tgt)
+
+        gen = make_generate_step(model, tok, DecodeConfig(beam_size=2), 16,
+                                 with_indication=False, logits_hook=hook)
+        golden = {}
+        for b in loader:
+            dev = {k: v for k, v in b.items() if not k.startswith("_")}
+            valid = np.asarray(b["valid"])
+            tl = np.asarray([targets.get(iid, 5) for iid in b["_image_ids"]],
+                            np.int32)
+            seqs = np.asarray(gen(state, dict(dev, target_len=jnp.asarray(tl))))
+            for i, iid in enumerate(b["_image_ids"]):
+                if valid[i]:
+                    row = seqs[i]
+                    n = int((row == eos).argmax()) + 1
+                    assert n == targets[iid], (iid, n, targets[iid])
+                    golden[iid] = tok.decode(row.tolist())
+
+        def step_wrapper(raw_step):
+            def step(tok_ids, p, age_rows, dec, att_mask, aux, tstate):
+                logits, dec = raw_step(tok_ids, p, age_rows, dec, att_mask,
+                                       aux, tstate)
+                return force(logits, age_rows, jnp.repeat(aux, 2)), dec
+            return step
+
+        class _AuxLoader:
+            def __iter__(self):
+                for b in loader:
+                    yield dict(b, _aux=np.asarray(
+                        [targets.get(iid, 5) for iid in b["_image_ids"]],
+                        np.int32))
+
+        srv = ContinuousServer(model, tok, state, max_seq_len=16, slots=2,
+                               beam_size=2, seg_steps=3,
+                               step_wrapper=step_wrapper)
+        recs, _ = srv.serve(_AuxLoader())
+        assert {r["id"]: r["report"] for r in recs} == golden
