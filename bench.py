@@ -502,9 +502,11 @@ def bench_engines(image_size, deadline=None, model=None, init_variables=None):
         return step
 
     dispatch_segs = int(os.environ.get("BENCH_DISPATCH_SEGS", 4))
+    pack_batches = int(os.environ.get("BENCH_PACK_BATCHES", 4))
     srv = ContinuousServer(model, _Tok(), state, max_seq_len=GEN_LEN, slots=b,
                            beam_size=beam, seg_steps=seg_steps,
                            dispatch_segs=dispatch_segs,
+                           pack_batches=pack_batches,
                            step_wrapper=step_wrapper)
 
     class _Loader:
@@ -524,7 +526,8 @@ def bench_engines(image_size, deadline=None, model=None, init_variables=None):
     cont_rps = st["reports_per_s"]
     _emit(f"steady-state reports/sec/chip @ {image_size}px beam=3 continuous "
           f"batching, lognormal length mix mean {mix.mean():.0f} cap {GEN_LEN} "
-          f"(bf16, vocab {VOCAB}, slots {b}, seg {seg_steps}x{dispatch_segs}, "
+          f"(bf16, vocab {VOCAB}, slots {b}, seg {seg_steps}x{dispatch_segs} "
+          f"pack {pack_batches}, "
           f"{st['segment_steps']:.0f} decode steps for {n_studies} studies)",
           cont_rps, "reports/s",
           vs=cont_rps / BASELINE_RPS if image_size == 224 else None)

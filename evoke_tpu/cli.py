@@ -232,6 +232,7 @@ def _serve(cfg, model, tokenizer, loaders, state) -> int:
             slots=cfg.decode.slots, beam_size=cfg.decode.beam_size,
             seg_steps=cfg.decode.seg_steps,
             dispatch_segs=cfg.decode.dispatch_segs,
+            pack_batches=cfg.decode.pack_batches,
             suppress_unk=cfg.decode.suppress_unk,
             length_penalty=cfg.decode.length_penalty,
             beam_kv=cfg.decode.beam_kv)

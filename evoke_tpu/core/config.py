@@ -151,6 +151,10 @@ class DecodeConfig:
     # dispatch (admission stays on device; ONE host fetch per dispatch — the
     # remote-runtime RTT amortizer, decode/continuous.py)
     dispatch_segs: int = 4
+    # continuous: loader batches fused per device-side admission pack; packs
+    # must outlast the depth*dispatch_segs-segment admission lookahead or
+    # slots starve around pack switches (decode/continuous.py make_fused)
+    pack_batches: int = 4
 
 
 @dataclass

@@ -261,7 +261,8 @@ class ContinuousServer:
 
     def __init__(self, model, tokenizer, state, *, max_seq_len: int = 100,
                  slots: int = 64, beam_size: int = 3, seg_steps: int = 10,
-                 dispatch_segs: int = 4, suppress_unk: bool = False,
+                 dispatch_segs: int = 4, pack_batches: int = 4,
+                 suppress_unk: bool = False,
                  length_penalty: str = "", step_wrapper=None,
                  beam_kv: str = "auto"):
         if getattr(model, "decoder_kind", "r2gen") != "r2gen":
@@ -315,6 +316,18 @@ class ContinuousServer:
         # regardless of payload (DESIGN 5l), so this divides the per-segment
         # overhead by R while keeping the admission cadence at seg_steps.
         self.dispatch_segs = r = max(int(dispatch_segs), 1)
+        # Admission lookahead is depth * dispatch_segs SEGMENTS deep (the host
+        # learns consumption only from lagged reads), but one loader batch of
+        # E rows feeds only ~E*mean_len/(slots*seg_steps) segments of
+        # admissions (~6 at flagship dims) — smaller than the lookahead, so
+        # single-batch packs starve slots around every pack switch (measured:
+        # 2.6x the ideal decode-step count at seg 10x4). ``pack_batches``
+        # loader batches are therefore fused into ONE device-side pack (valid
+        # rows compacted to the front with a host-built gather permutation;
+        # static [G*E] shape so the segment compiles once).
+        self.pack_batches = max(int(pack_batches), 1)
+        self._fuse = jax.jit(lambda perm, *ps: jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, 0)[perm], *ps))
 
         def seg_with_state(carry, tstate, pack, avail, reset_pos, memory0):
             cell[0] = tstate
@@ -393,7 +406,9 @@ class ContinuousServer:
         in-flight segments admit FIFO from wherever the previous segment left
         off; the host only switches the pack argument (reset_pos=True) once a
         lagged read shows the current pack exhausted — at most
-        ``depth * dispatch_segs`` segments admit nothing around a switch."""
+        ``depth * dispatch_segs`` segments admit nothing around a switch, so
+        packs are fused ``pack_batches`` loader batches wide to make switches
+        rare relative to that lookahead."""
         from concurrent.futures import ThreadPoolExecutor
 
         from evoke_tpu.data.batching import Prefetcher, device_prefetch
@@ -442,11 +457,39 @@ class ContinuousServer:
             n_total += n_valid
             return pack, n_valid
 
+        raw: deque = deque()     # per-loader-batch packs awaiting fusion
+        g = self.pack_batches
+
+        def make_fused():
+            """Fuse up to ``g`` raw packs -> ([g*E]-row pack, avail).
+
+            Valid rows (each raw pack's prefix) are compacted to the front by
+            a host-built gather permutation; padded/filler rows land after
+            ``avail`` where admission never reaches (admit clips at
+            pack_avail). Short groups at the loader tail are padded by
+            repeating the first pack, keeping the segment's pack shape (and
+            its compilation) unique."""
+            take = [raw.popleft() for _ in range(min(g, len(raw)))]
+            if g == 1:
+                return take[0]
+            e = take[0][0]["att_mask"].shape[0]
+            packs = [p for p, _ in take] + [take[0][0]] * (g - len(take))
+            valid_idx = [np.arange(i * e, i * e + nv)
+                         for i, (_, nv) in enumerate(take)]
+            front = np.concatenate(valid_idx) if valid_idx else np.zeros(0, int)
+            perm = np.zeros(g * e, np.int32)
+            perm[: len(front)] = front
+            return self._fuse(jnp.asarray(perm), *packs), int(len(front))
+
         def refill_pending():
-            while not loader_done and len(pending) < max(prefetch, 1):
+            while not loader_done and len(raw) < g * max(prefetch, 1):
                 got = pull_pack()
                 if got is not None:
-                    pending.append(got)
+                    raw.append(got)
+            while raw and len(pending) < max(prefetch, 1):
+                if not loader_done and len(raw) < g:
+                    break   # wait for a full group; the tail pads instead
+                pending.append(make_fused())
 
         refill_pending()
         if not pending:

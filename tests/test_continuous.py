@@ -279,6 +279,26 @@ class TestContinuousServerModel:
         assert {r["id"]: r["report"] for r in ra} == \
                {r["id"]: r["report"] for r in rb}
 
+    def test_pack_fusion_invariance(self, tmp_path):
+        """Fusing loader batches into wide admission packs (pack_batches>1,
+        valid rows compacted over ragged tails, short tail group padded)
+        changes nothing about the records — only how often the host switches
+        the pack argument."""
+        from evoke_tpu.decode.continuous import ContinuousServer
+
+        model, tok, state, loader, examples = _tiny_setup(tmp_path)
+        a = ContinuousServer(model, tok, state, max_seq_len=16, slots=2,
+                             beam_size=2, seg_steps=4, dispatch_segs=1,
+                             pack_batches=1)
+        ra, _ = a.serve(loader)
+        assert len(ra) == len(examples)
+        b = ContinuousServer(model, tok, state, max_seq_len=16, slots=2,
+                             beam_size=2, seg_steps=4, dispatch_segs=2,
+                             pack_batches=3)
+        rb, _ = b.serve(loader)
+        assert {r["id"]: r["report"] for r in ra} == \
+               {r["id"]: r["report"] for r in rb}
+
     def test_forced_length_hooks_agree_across_engines(self, tmp_path):
         """The load-testing hooks (make_generate_step(logits_hook=...) and
         ContinuousServer(step_wrapper=...)) force per-study lengths, and the
