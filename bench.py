@@ -535,6 +535,10 @@ def bench_engines(image_size, deadline=None, model=None, init_variables=None):
         _emit(f"p50 per-study report latency @ {image_size}px beam=3 "
               f"(continuous, slots {b}, submit->harvest; p90 "
               f"{st['study_p90_ms']:.0f} ms)", st["study_p50_ms"], "ms")
+    if "service_p50_ms" in st:
+        _emit(f"p50 per-study decode service latency @ {image_size}px beam=3 "
+              f"(continuous, slots {b}, admit->harvest excl. queue wait; p90 "
+              f"{st['service_p90_ms']:.0f} ms)", st["service_p50_ms"], "ms")
 
 
 def analytic_train_flops(variables, model, image_size, n_anchor, n_images,

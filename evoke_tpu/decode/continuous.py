@@ -458,10 +458,16 @@ class ContinuousServer:
             return pack, n_valid
 
         raw: deque = deque()     # per-loader-batch packs awaiting fusion
+
+        def _tickets_np(pack, n_valid):
+            # admission-ordered tickets, host-side (pull_pack assigned them
+            # from a host counter; the valid prefix is the admissible range)
+            return np.asarray(pack["ticket"])[:n_valid]
+
         g = self.pack_batches
 
         def make_fused():
-            """Fuse up to ``g`` raw packs -> ([g*E]-row pack, avail).
+            """Fuse up to ``g`` raw packs -> ([g*E]-row pack, avail, tickets).
 
             Valid rows (each raw pack's prefix) are compacted to the front by
             a host-built gather permutation; padded/filler rows land after
@@ -471,7 +477,8 @@ class ContinuousServer:
             its compilation) unique."""
             take = [raw.popleft() for _ in range(min(g, len(raw)))]
             if g == 1:
-                return take[0]
+                pk, nv = take[0]
+                return pk, nv, _tickets_np(pk, nv)
             e = take[0][0]["att_mask"].shape[0]
             packs = [p for p, _ in take] + [take[0][0]] * (g - len(take))
             valid_idx = [np.arange(i * e, i * e + nv)
@@ -479,7 +486,9 @@ class ContinuousServer:
             front = np.concatenate(valid_idx) if valid_idx else np.zeros(0, int)
             perm = np.zeros(g * e, np.int32)
             perm[: len(front)] = front
-            return self._fuse(jnp.asarray(perm), *packs), int(len(front))
+            tickets = np.concatenate([_tickets_np(p, nv) for p, nv in take]) \
+                if take else np.zeros(0, np.int32)
+            return self._fuse(jnp.asarray(perm), *packs), int(len(front)), tickets
 
         def refill_pending():
             while not loader_done and len(raw) < g * max(prefetch, 1):
@@ -495,11 +504,13 @@ class ContinuousServer:
         if not pending:
             return [], {"reports": 0.0, "wall_s": 0.0,
                         "reports_per_s": float("nan"), "segment_steps": 0.0}
-        cur_pack, cur_avail = pending.popleft()
+        cur_pack, cur_avail, cur_tickets = pending.popleft()
         cur_reset = True
         self._ensure_carry(cur_pack)
-        inflight: deque = deque()   # (future, pack_id, avail_at_dispatch)
+        inflight: deque = deque()   # (future, pack_id, avail, tickets, t_disp)
         cur_id = 0
+        admit_t: Dict[int, float] = {}   # ticket -> dispatch time of admission
+        service: List[float] = []        # admit-dispatch -> harvest-read
         pool = ThreadPoolExecutor(max_workers=max(readers, 1))
 
         def dispatch():
@@ -510,27 +521,39 @@ class ContinuousServer:
             cur_reset = False
             steps += self.seg_steps * self.dispatch_segs
             fut = pool.submit(jax.device_get, out)
-            inflight.append((fut, cur_id, cur_avail))
+            inflight.append((fut, cur_id, cur_avail, cur_tickets,
+                             time.perf_counter()))
 
         try:
             while n_done < n_total:
                 while len(inflight) < depth:
                     dispatch()
-                fut, pack_id, avail = inflight.popleft()
+                fut, pack_id, avail, tickets, t_disp = inflight.popleft()
                 metas, bests = fut.result()   # [R, B+1, 2], [R, B, L]
                 t_now = time.perf_counter()
                 for meta_h, best in zip(metas, bests):
+                    # harvests first: a study harvested in this segment was
+                    # admitted in a strictly earlier one (device order is
+                    # harvest -> admit -> decode)
                     for s in np.nonzero(meta_h[:-1, 0])[0]:
                         t = int(meta_h[s, 1])
                         if t in meta and t not in results:  # padded: no meta
                             latencies.append(t_now - meta[t].pop("_t_submit"))
+                            if t in admit_t:
+                                service.append(t_now - admit_t.pop(t))
                             results[t] = {**meta[t], "tokens": best[s]}
                             n_done += 1
+                    # admissions: rows [pos - n_adm, pos) of this dispatch's
+                    # pack, stamped with the DISPATCH time (an upper bound on
+                    # service latency by at most the read lag)
+                    n_adm, pos = int(meta_h[-1, 0]), int(meta_h[-1, 1])
+                    for t in tickets[pos - n_adm: pos]:
+                        admit_t[int(t)] = t_disp
                 pack_pos = int(metas[-1][-1, 1])
                 if pack_id == cur_id and pack_pos >= avail:
                     refill_pending()
                     if pending:
-                        cur_pack, cur_avail = pending.popleft()
+                        cur_pack, cur_avail, cur_tickets = pending.popleft()
                         cur_id += 1
                         cur_reset = True
                     elif cur_avail:
@@ -554,4 +577,10 @@ class ContinuousServer:
             lat = np.asarray(latencies)
             stats["study_p50_ms"] = float(np.percentile(lat, 50) * 1e3)
             stats["study_p90_ms"] = float(np.percentile(lat, 90) * 1e3)
+        if service:
+            # admit->harvest (decode service, excl. encode-queue wait; an
+            # upper bound by at most one read lag)
+            srv = np.asarray(service)
+            stats["service_p50_ms"] = float(np.percentile(srv, 50) * 1e3)
+            stats["service_p90_ms"] = float(np.percentile(srv, 90) * 1e3)
         return records, stats

@@ -295,9 +295,13 @@ class TestContinuousServerModel:
         b = ContinuousServer(model, tok, state, max_seq_len=16, slots=2,
                              beam_size=2, seg_steps=4, dispatch_segs=2,
                              pack_batches=3)
-        rb, _ = b.serve(loader)
+        rb, st = b.serve(loader)
         assert {r["id"]: r["report"] for r in ra} == \
                {r["id"]: r["report"] for r in rb}
+        # every harvested study has an admit->harvest service measurement,
+        # bounded by the queue-inclusive submit->harvest latency
+        assert st["service_p50_ms"] > 0
+        assert st["service_p50_ms"] <= st["study_p50_ms"] + 1e-6
 
     def test_forced_length_hooks_agree_across_engines(self, tmp_path):
         """The load-testing hooks (make_generate_step(logits_hook=...) and
