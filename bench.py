@@ -468,12 +468,17 @@ def bench_engines(image_size, deadline=None, model=None, init_variables=None):
     got_len = (seqs[:, :] == eos).argmax(axis=1) + 1
     assert (got_len == tl[0]).all(), "forced lengths not honored (batch engine)"
 
+    # depth-2 pipelining: the EXACT pop rule of serve.generate_stream(depth=2)
+    # (pop once len exceeds depth), so the A/B's batch side IS the production
+    # ReportServer configuration (ADVICE r3: a depth-3 loop here measured a
+    # slightly different pipeline than the one serve.py ships)
+    depth = 2
     q, lats = deque(), []
     t0 = time.perf_counter()
     for i in range(n_passes):
         bt = dict(batch, target_len=jnp.asarray(tl[i]))
         q.append((time.perf_counter(), gen(state, bt)))
-        if len(q) > 2:
+        while len(q) > depth:
             ts, out = q.popleft()
             np.asarray(out)
             lats.append(time.perf_counter() - ts)
@@ -483,7 +488,8 @@ def bench_engines(image_size, deadline=None, model=None, init_variables=None):
         lats.append(time.perf_counter() - ts)
     wall_b = time.perf_counter() - t0
     batch_rps = n_studies / wall_b
-    _emit(f"reports/sec/chip @ {image_size}px beam=3 batch engine, lognormal "
+    _emit(f"reports/sec/chip @ {image_size}px beam=3 batch engine depth {depth}, "
+          f"lognormal "
           f"length mix mean {mix.mean():.0f} cap {GEN_LEN} (bf16, vocab {VOCAB}, "
           f"batch {b}: pays max-of-batch, p50 batch latency "
           f"{np.percentile(lats, 50) * 1e3:.0f} ms)",
@@ -572,7 +578,7 @@ def analytic_train_flops(variables, model, image_size, n_anchor, n_images,
 
 
 def bench_train(image_size, batches, iters, deadline=None, model=None,
-                init_variables=None):
+                init_variables=None, remat=None):
     """model/init_variables: reuse an already-initialized parameter tree (the
     core224 child passes its decode init) — the jitted 300M-param init through
     the tunnel is the train family's dominant fixed cost."""
@@ -583,7 +589,8 @@ def bench_train(image_size, batches, iters, deadline=None, model=None,
     from evoke_tpu.train.steps import create_train_state, make_train_step
     from __graft_entry__ import _example_batch, _flagship
 
-    remat = os.environ.get("BENCH_TRAIN_REMAT", "0") == "1"
+    if remat is None:
+        remat = os.environ.get("BENCH_TRAIN_REMAT", "0") == "1"
     if model is None:
         model = _flagship(vocab_size=VOCAB, remat_visual=remat)
     rng = np.random.default_rng(0)
@@ -782,11 +789,12 @@ def main():
     # studies/s at batch 32/48/64; 96+96 OOMs without remat and is slower
     # (233 r/s) with it — 64 is the step-throughput optimum
     train_batch = int(os.environ.get("BENCH_TRAIN_ANCHORS", 64))
-    # 480s: the round-3 end-of-round rehearsal saw the tunnel HANG a child for
-    # 9m50s with 26s of CPU (transient — a fresh interpreter was fine), and a
-    # 330s budget killed the 224 child mid-family. Warm costs measured that
-    # session: core384 150s, core224 decode ~200s + train ~40s + engines ~40s.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 480))
+    # round-3 rehearsals saw the tunnel HANG a child for 9m50s with 26s of
+    # CPU (transient — a fresh interpreter was fine). Warm costs measured:
+    # core384 ~150s (+ train tail ~40s), core224 decode ~200s + engines ~40s
+    # + train ~40s, pipeline ~90s. The default covers 384+224 with the
+    # pipeline family as an if-budget-remains extra.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 560))
 
     if "--only" in sys.argv:  # child mode, in-process
         what = sys.argv[sys.argv.index("--only") + 1]
@@ -796,9 +804,9 @@ def main():
             if what == "core224+train":
                 # partition the child budget: decode (and its OPTIONAL
                 # encoder-split timing, which respects the deadline) must
-                # leave the train tail its ~40s marginal cost and the
-                # engine-A/B tail its ~40s warm cost
-                deadline = time.perf_counter() + 0.55 * budget_s
+                # leave the engine-A/B tail its ~40s warm cost and the train
+                # tail its ~40s marginal cost
+                deadline = time.perf_counter() + 0.5 * budget_s
             # default: the measured steady-state-best batch only (sweep with
             # BENCH_BATCHES_224=32,64,128 when exploring). Under reorder-mode
             # caches the optimum was sharply 32 (device time grew
@@ -812,37 +820,62 @@ def main():
                                      os.environ.get("BENCH_BATCHES_224", "64").split(",")],
                                iters, deadline=deadline)
             if what == "core224+train" and out[2] is not None:
+                _, model, variables = out
+                # serving-engine A/B runs BEFORE the train tail (r3 postmortem:
+                # bench_engines raised INVALID_ARGUMENT twice when it ran after
+                # train — the live RAdam opt_state adds ~2.4 GB of HBM on top
+                # of params + engine ring caches; ordering engines first keeps
+                # the engine A/B at the same device pressure as production
+                # serving). Its compiles are persistent-cache-warm after one
+                # rehearsal (~40s marginal). BENCH_ENGINES=0 disables.
+                if os.environ.get("BENCH_ENGINES", "1") != "0":
+                    try:
+                        bench_engines(224, deadline=child_end - 45.0, model=model,
+                                      init_variables=variables)
+                    except Exception as e:
+                        print(f"# engines skipped: {type(e).__name__}: {e}",
+                              file=sys.stderr)
                 # same model, same parameter tree: the train family rides the
                 # decode child's init instead of paying its own (~100s+ of
                 # tunnel fixed cost per interpreter, VERDICT r2 weak #1 redux).
                 # bench_train's deadline guard only applies after its first
                 # measurement, so the single train batch always runs.
-                _, model, variables = out
-                bench_train(224, [train_batch], iters, deadline=deadline,
+                bench_train(224, [train_batch], iters, deadline=child_end,
                             model=model, init_variables=variables)
-                # serving-engine A/B rides the same init too; its compiles
-                # are persistent-cache-warm after one rehearsal, so the warm
-                # marginal cost is ~40s. BENCH_ENGINES=0 disables.
-                if os.environ.get("BENCH_ENGINES", "1") != "0":
-                    try:
-                        bench_engines(224, deadline=child_end, model=model,
-                                      init_variables=variables)
-                    except Exception as e:
-                        print(f"# engines skipped: {type(e).__name__}: {e}",
-                              file=sys.stderr)
         elif what == "engines":
             bench_engines(int(os.environ.get("BENCH_IMAGE_SIZE", 224)),
                           deadline=deadline)
-        elif what == "core384":
-            bench_decode(384, [int(x) for x in
-                               os.environ.get("BENCH_BATCHES_384", "48").split(",")],
-                         iters, deadline=deadline)
+        elif what in ("core384", "core384+train"):
+            child_end = time.perf_counter() + budget_s
+            if what == "core384+train":
+                deadline = time.perf_counter() + 0.7 * budget_s
+            out = bench_decode(384, [int(x) for x in
+                                     os.environ.get("BENCH_BATCHES_384", "48").split(",")],
+                               iters, deadline=deadline)
+            if what == "core384+train" and out[1] is not None:
+                _, model, variables = out
+                # 384 train tail rides the decode init (same param tree).
+                # remat_visual is the default here: the 384 activations hit
+                # the HBM knee immediately (README r3) — the winner of the
+                # remat x batch sweep is pinned via these envs.
+                remat384 = os.environ.get("BENCH_TRAIN_REMAT_384", "1") == "1"
+                tb = [int(x) for x in
+                      os.environ.get("BENCH_TRAIN_BATCHES_384", "24").split(",")]
+                from __graft_entry__ import _flagship
+                tmodel = (_flagship(vocab_size=VOCAB, remat_visual=True)
+                          if remat384 else model)
+                bench_train(384, tb, iters, deadline=child_end, model=tmodel,
+                            init_variables=variables, remat=remat384)
         elif what == "train":
             bench_train(int(os.environ.get("BENCH_TRAIN_IMAGE_SIZE", 224)),
                         [int(x) for x in
                          os.environ.get("BENCH_TRAIN_BATCHES",
                                         str(train_batch)).split(",")],
                         iters, deadline=deadline)
+        elif what == "pipeline":
+            bench_pipeline(int(os.environ.get("BENCH_IMAGE_SIZE", 224)),
+                           int(os.environ.get("BENCH_ANCHORS", 16)),
+                           int(os.environ.get("BENCH_STEPS", 8)))
         else:
             raise SystemExit(f"unknown --only {what}")
         return
@@ -851,24 +884,26 @@ def main():
     # SLICE of the budget and a hard timeout (VERDICT r2 weak #1: a single
     # first-come budget let the 224 family starve 384+train). The remote
     # tunnel can hang a device sync for minutes; a killed child still yields
-    # the JSON lines it already printed. The headline 224 family runs first so
-    # a partial run always ends with a valid final JSON line.
+    # the JSON lines it already printed.
+    #
+    # core384 runs FIRST (VERDICT r3 weak #1: two rounds in a row a late
+    # tunnel hang ate the 384 family after the 224 child overran — the
+    # BASELINE metric names 224 AND 384, so the smaller, cheaper 384 child
+    # takes the front slot and 224 keeps the larger share + the final
+    # headline re-emit). The pipeline family is an optional trailer.
     import re
     import subprocess
 
     t_start = time.perf_counter()
-    # (name, budget share, minimum allocation). The train measurement rides
-    # in the 224 child: a standalone train interpreter pays ~160s WARM of
-    # batch-invariant fixed cost (python+jax imports, 300M-param jitted init
-    # and program loads through the tunnel) that the decode child has already
-    # paid — in round 2 (and in a round-3 rehearsal with a dedicated train
-    # family) that fixed cost starved the train number out of the budget.
-    # Sharing the init, the marginal train cost is ~30s (optimizer init +
-    # warmup + 4 steps).
-    # the 384 floor is its measured WARM fixed cost (imports + 384 init +
-    # program loads ~110-150s): without it, a slow first child leaves `left`
-    # too small and 384 dies before emitting anything
-    families = (("core224+train", 0.62, 260.0), ("core384", 0.38, 160.0))
+    # (name, budget share, minimum allocation). The train measurements ride
+    # in the decode children: a standalone train interpreter pays ~160s WARM
+    # of batch-invariant fixed cost (python+jax imports, 300M-param jitted
+    # init and program loads through the tunnel) that the decode child has
+    # already paid — sharing the init, the marginal train cost is ~30-40s.
+    # Floors are each child's measured WARM fixed cost: without them a slow
+    # earlier child leaves `left` too small and the family dies before
+    # emitting anything.
+    families = (("core384+train", 0.36, 200.0), ("core224+train", 0.64, 300.0))
 
     lines224 = []
     all_lines = []
@@ -926,23 +961,37 @@ def main():
         alloc = max(min(budget_s * share + carry, left), floor)
         t_family = time.perf_counter()
         emitted = run_family(name, alloc)
-        if emitted == 0 and time.perf_counter() - t_start < budget_s:
+        if emitted == 0:
             # a transient tunnel hang can stall a child start-to-kill with no
             # output while a FRESH interpreter works fine (observed: 9m50s
-            # hung child, then an immediate clean 150s run) — retry once
+            # hung child, then an immediate clean 150s run). An empty killed
+            # child is a RETRY TRIGGER, not "partial results kept" (r3: the
+            # 384 family vanished from the artifact this way) — retry once at
+            # the family's floor even if the nominal budget is spent; the
+            # retry is bounded by floor + the child grace.
             print(f"# {name} emitted nothing; retrying once in a fresh "
                   "interpreter", file=sys.stderr)
             run_family(name, max(min(alloc, budget_s - (time.perf_counter() - t_start)),
                                  floor))
         carry = max(alloc - (time.perf_counter() - t_family), 0.0)
 
-    # the train number is a required metric family: if the 224 child died
+    # the 224 train number is a required metric family: if the 224 child died
     # before its train tail, buy it back with a dedicated child (pays ~160s
     # warm fixed cost — only worth it as a fallback)
-    if not any("train studies/sec" in r["metric"] for r in all_lines):
+    if not any("train studies/sec/chip @ 224" in r["metric"] for r in all_lines):
         print("# train missing from the 224 child; running a dedicated "
               "train child", file=sys.stderr)
         run_family("train", max(budget_s - (time.perf_counter() - t_start), 220.0))
+    # input-pipeline family (VERDICT r3 weak #8): the only end-to-end-with-
+    # real-I/O number — runs when budget remains (BENCH_PIPELINE=0 disables,
+    # =1 forces even over budget)
+    force_pipe = os.environ.get("BENCH_PIPELINE", "")
+    left = budget_s - (time.perf_counter() - t_start)
+    if force_pipe != "0" and (left > 100.0 or force_pipe == "1"):
+        run_family("pipeline", max(left, 120.0))
+    elif force_pipe != "0":
+        print(f"# pipeline family skipped: {left:.0f}s of budget left (<100s)",
+              file=sys.stderr)
     if not lines224:
         raise SystemExit("no 224 decode result produced — benchmark failed")
 

@@ -235,7 +235,8 @@ def _serve(cfg, model, tokenizer, loaders, state) -> int:
             pack_batches=cfg.decode.pack_batches,
             suppress_unk=cfg.decode.suppress_unk,
             length_penalty=cfg.decode.length_penalty,
-            beam_kv=cfg.decode.beam_kv)
+            beam_kv=cfg.decode.beam_kv,
+            kv_cache_dtype=cfg.decode.kv_cache_dtype)
         for loader in (inc, no):
             if loader is None:
                 continue

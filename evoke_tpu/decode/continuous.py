@@ -264,12 +264,20 @@ class ContinuousServer:
                  dispatch_segs: int = 4, pack_batches: int = 4,
                  suppress_unk: bool = False,
                  length_penalty: str = "", step_wrapper=None,
-                 beam_kv: str = "auto"):
+                 beam_kv: str = "auto", kv_cache_dtype: str = ""):
         if getattr(model, "decoder_kind", "r2gen") != "r2gen":
             raise NotImplementedError(
                 "continuous serving needs ring-cache (age-aware) decode steps; "
                 "only the R2Gen decoder implements them today "
                 f"(decoder_kind={model.decoder_kind!r}) — use the batch engine")
+        if kv_cache_dtype:
+            # loud degradation (repo convention): the ring caches are bf16-only
+            # today — per-slot scale bookkeeping under admission resets is not
+            # wired, and silently running bf16 would misreport the config
+            raise NotImplementedError(
+                f"kv_cache_dtype={kv_cache_dtype!r} is not supported by the "
+                "continuous engine (bf16 ring caches only) — use the batch "
+                "engine for quantized KV caches")
         from types import SimpleNamespace
 
         from evoke_tpu.train.steps import resolve_beam_kv
@@ -480,6 +488,16 @@ class ContinuousServer:
                 pk, nv = take[0]
                 return pk, nv, _tickets_np(pk, nv)
             e = take[0][0]["att_mask"].shape[0]
+            # the gather permutation below assumes every raw pack has exactly
+            # E rows (valid_idx offsets by i*e); a ragged loader batch would
+            # make the jitted concatenate[perm] mis-index silently, admitting
+            # wrong studies under misattributed tickets — fail loudly instead
+            # (in-repo loaders always pad to n_anchor, so this guards external
+            # loaders handed to the public serve() API)
+            assert all(p["att_mask"].shape[0] == e for p, _ in take), (
+                "ContinuousServer.serve: all loader batches must have the same "
+                f"padded row count (got {[p['att_mask'].shape[0] for p, _ in take]}); "
+                "pad every batch to n_anchor")
             packs = [p for p, _ in take] + [take[0][0]] * (g - len(take))
             valid_idx = [np.arange(i * e, i * e + nv)
                          for i, (_, nv) in enumerate(take)]
@@ -514,12 +532,11 @@ class ContinuousServer:
         pool = ThreadPoolExecutor(max_workers=max(readers, 1))
 
         def dispatch():
-            nonlocal cur_reset, steps
+            nonlocal cur_reset
             self._carry, out = self._segment(
                 self._carry, self.state, cur_pack, jnp.int32(cur_avail),
                 jnp.asarray(cur_reset), self._memory0)
             cur_reset = False
-            steps += self.seg_steps * self.dispatch_segs
             fut = pool.submit(jax.device_get, out)
             inflight.append((fut, cur_id, cur_avail, cur_tickets,
                              time.perf_counter()))
@@ -530,6 +547,12 @@ class ContinuousServer:
                     dispatch()
                 fut, pack_id, avail, tickets, t_disp = inflight.popleft()
                 metas, bests = fut.result()   # [R, B+1, 2], [R, B, L]
+                # steps counts only CONSUMED dispatches: the up-to-``depth``
+                # speculative dispatches in flight at exit (issued after the
+                # final harvest, never read) would otherwise inflate the
+                # decode-steps-per-study efficiency figure by up to
+                # depth * dispatch_segs * seg_steps
+                steps += self.seg_steps * self.dispatch_segs
                 t_now = time.perf_counter()
                 for meta_h, best in zip(metas, bests):
                     # harvests first: a study harvested in this segment was
