@@ -194,7 +194,7 @@ def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, p
                 decoding_constraint: bool = False, early_stop: bool = True,
                 unroll: int = 1, raw_logits: bool = False,
                 cache_schedule: Optional[Tuple[int, ...]] = None,
-                ancestor_kv: bool = False) -> BeamResult:
+                ancestor_kv: bool = False, fused_topk: bool = False) -> BeamResult:
     """Batched beam search over a KV-cached step function.
 
     ``state0`` must already be sized for N = batch * beam_size rows (broadcast
@@ -225,9 +225,20 @@ def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, p
     top-k from [batch, k*V] to [N, V] + [batch, k*k] — a large-vocab win
     (the real WordLevel vocab is ~30k; measured on v5e @224 batch 32).
     Output-identical to the log-prob path (CPU f32 parity-tested).
+
+    fused_topk=True (implies raw_logits): ``step`` already ran stage 1 —
+    it returns ((vals [N, k] f32, idx [N, k] i32, lse [N] f32), state) from
+    the fused Pallas vocab-tail kernel (ops/fused_logit_topk.py), with
+    suppression applied INSIDE the step; suppress_ids/decoding_constraint
+    must be empty here. Stage 2 (exact joint top-k over k*k) is unchanged.
     """
     k = beam_size
     n = batch * k
+    if fused_topk:
+        assert raw_logits, "fused_topk requires the raw_logits contract"
+        assert not suppress_ids and not decoding_constraint, \
+            "fused_topk steps apply suppression inside the kernel; pass " \
+            "suppress_ids=() and decoding_constraint=False to beam_search"
     lp = penalty_fn(length_penalty)
     schedule = (_validate_schedule(cache_schedule, max_len)
                 if cache_schedule is not None else (max_len,))
@@ -241,7 +252,19 @@ def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, p
 
     def scan_body(carry, t):
         (tok, dec_state, alive_logp, seq, done_seq, done_score, ever_finished) = carry
-        if raw_logits:
+        if fused_topk:
+            # stage 1 + lse already fused into the step's Pallas vocab tail
+            (vals, tok_cand, lse), dec_state = step(tok, t, dec_state)
+            logp_cand = vals - lse[:, None]                  # both f32
+            cand = alive_logp.reshape(n)[:, None] + logp_cand
+            cand = cand.reshape(batch, k, k)
+            cand = jnp.where((t == 0) & (jnp.arange(k)[None, :, None] > 0),
+                             NEG_INF, cand)
+            scores, flat_idx = topk(cand.reshape(batch, k * k), k)
+            beam_idx = flat_idx // k
+            tok_idx = jnp.take_along_axis(tok_cand.reshape(batch, k * k),
+                                          flat_idx, axis=1)
+        elif raw_logits:
             logits, dec_state = step(tok, t, dec_state)      # [N, V] unnormalized
             lse = jax.scipy.special.logsumexp(
                 logits.astype(jnp.float32), axis=-1)         # [N]
@@ -473,23 +496,14 @@ def _trigram_penalty(seq: jnp.ndarray, t, vocab_size: int, alpha: float = 2.0) -
     return counts * (-0.693 * alpha)
 
 
-def greedy_sample(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, pad_id: int,
-                  vocab_size: int, max_len: int = 100, sample_method: str = "greedy",
-                  temperature: float = 1.0, top_k: int = 0, top_p: float = 0.0,
-                  block_trigrams: bool = True, decoding_constraint: bool = False,
-                  rng: Optional[jax.Array] = None,
-                  cache_schedule: Optional[Tuple[int, ...]] = None
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Single-beam sampling with trigram blocking. Returns (seq [B, L], logp_sum [B])."""
+def _make_sampler(sample_method: str, temperature: float, top_k: int, top_p: float):
+    """(logp [B, V], key) -> next token [B]: greedy / temperature / top-k /
+    top-p, the sample_next_word dispatch (att_model.py:363-401)."""
     if sample_method == "top_k":
         assert top_k > 0, "sample_method='top_k' requires top_k > 0 (it would " \
                           "silently degrade to plain sampling)"
     if sample_method == "top_p":
         assert 0.0 < top_p <= 1.0, "sample_method='top_p' requires 0 < top_p <= 1"
-    if rng is None:
-        rng = jax.random.key(0)
-    schedule = (_validate_schedule(cache_schedule, max_len)
-                if cache_schedule is not None else (max_len,))
 
     def sample_next(logp, key):
         if sample_method == "greedy":
@@ -506,6 +520,23 @@ def greedy_sample(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int,
             cutoff = jnp.take_along_axis(sorted_lp, cutoff_idx[:, None], axis=-1)
             scaled = jnp.where(scaled < cutoff, NEG_INF, scaled)
         return jax.random.categorical(key, scaled).astype(jnp.int32)
+
+    return sample_next
+
+
+def greedy_sample(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, pad_id: int,
+                  vocab_size: int, max_len: int = 100, sample_method: str = "greedy",
+                  temperature: float = 1.0, top_k: int = 0, top_p: float = 0.0,
+                  block_trigrams: bool = True, decoding_constraint: bool = False,
+                  rng: Optional[jax.Array] = None,
+                  cache_schedule: Optional[Tuple[int, ...]] = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-beam sampling with trigram blocking. Returns (seq [B, L], logp_sum [B])."""
+    if rng is None:
+        rng = jax.random.key(0)
+    schedule = (_validate_schedule(cache_schedule, max_len)
+                if cache_schedule is not None else (max_len,))
+    sample_next = _make_sampler(sample_method, temperature, top_k, top_p)
 
     def scan_body(carry, t):
         tok, dec_state, unfinished, seq, logp_sum, key = carry
@@ -555,3 +586,109 @@ def greedy_sample(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int,
                                  ) + carry[2:]
     (tok, dec_state, unfinished, seq, logp_sum, _) = carry
     return seq, logp_sum
+
+
+def diverse_sample(step: StepFn, state0_per_group, batch: int, *, bos_id: int,
+                   eos_id: int, pad_id: int, vocab_size: int, group_size: int,
+                   max_len: int = 100, sample_method: str = "greedy",
+                   temperature: float = 1.0, top_k: int = 0, top_p: float = 0.0,
+                   diversity_lambda: float = 0.5, block_trigrams: bool = True,
+                   decoding_constraint: bool = False,
+                   rng: Optional[jax.Array] = None
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Diverse sampling (att_model.py:231-320 ``_diverse_sample``).
+
+    ``group_size`` staggered sampling chains per study; at each step, group
+    g's log-probs are penalized by ``diversity_lambda`` at the tokens earlier
+    groups chose at the same LOCAL time, then one token is sampled
+    (greedy/temperature/top-k/top-p). Normalization follows the reference:
+    ``log_softmax(logprobs / temperature)`` re-normalized BEFORE sampling at
+    temperature 1 (att_model.py:267) — unlike ``greedy_sample``, where the
+    temperature divides un-renormalized log-probs at the sampling step.
+    ``state0_per_group``: list of ``group_size`` decode states, each sized
+    ``batch`` rows. Returns (seqs [B, G, L] PAD-frozen after EOS,
+    logp_sum [B, G]).
+
+    Two deliberate departures from the reference, both documented here
+    because they change only degenerate behavior:
+
+    - the reference's diversity penalty ``logprobs[:, prev_decisions] -= l``
+      (att_model.py:275) fancy-indexes with the whole batch's choices,
+      penalizing every study by every OTHER study's tokens (an upstream
+      indexing artifact that makes outputs depend on batch composition);
+      this implementation penalizes each study by its own earlier groups
+      only.
+    - the reference's ``unfinished`` recomputation (att_model.py:316) has a
+      precedence bug (``!=`` binds before ``&``) that lets rows keep
+      sampling past EOS; rows here freeze to PAD after EOS, like
+      ``greedy_sample`` and the reference's own ``_sample``. Decoded text is
+      EOS-truncated either way.
+    """
+    g = group_size
+    lam = diversity_lambda
+    if rng is None:
+        rng = jax.random.key(0)
+    sample_next = _make_sampler(sample_method, 1.0, top_k, top_p)
+
+    def empty_group_carry(state0, i):
+        return {
+            "tok": jnp.full((batch,), bos_id, jnp.int32),
+            "dec": state0,
+            "unfinished": jnp.ones((batch,), bool),
+            "seq": jnp.full((batch, max_len), pad_id, jnp.int32),
+            "logp_sum": jnp.zeros((batch,), jnp.float32),
+            "key": jax.random.fold_in(rng, i),
+        }
+
+    def group_step(carry, t_local, penalty):
+        logp, dec = step(carry["tok"], t_local, carry["dec"])
+        logp = jax.nn.log_softmax(logp / temperature, axis=-1)
+        logp = logp - penalty * lam
+        if decoding_constraint:
+            prev_oh = jax.nn.one_hot(carry["tok"], vocab_size, dtype=bool)
+            logp = jnp.where((t_local > 0) & prev_oh, NEG_INF, logp)
+        if block_trigrams:
+            pen = jax.lax.cond(
+                t_local >= 3,
+                lambda: _trigram_penalty(carry["seq"], t_local, vocab_size),
+                lambda: jnp.zeros((batch, vocab_size), jnp.float32))
+            logp = logp + pen
+        key, sub = jax.random.split(carry["key"])
+        nxt = sample_next(logp, sub)
+        nxt = jnp.where(carry["unfinished"], nxt, pad_id)
+        picked = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        logp_sum = carry["logp_sum"] + picked * carry["unfinished"].astype(jnp.float32)
+        unfinished = carry["unfinished"] & (nxt != eos_id)
+        seq = jax.lax.dynamic_update_index_in_dim(carry["seq"], nxt, t_local, axis=1)
+        return {"tok": nxt, "dec": dec, "unfinished": unfinished, "seq": seq,
+                "logp_sum": logp_sum, "key": key}
+
+    def scan_body(carries, t):
+        new_carries = []
+        for divm in range(g):
+            carry = carries[divm]
+            t_local = jnp.maximum(t - divm, 0)
+            # penalty: earlier groups' choices at this local time (they are
+            # ahead in local time, so slot t_local is already written)
+            penalty = jnp.zeros((batch, vocab_size), jnp.float32)
+            for prev in range(divm):
+                chosen = jax.lax.dynamic_index_in_dim(
+                    new_carries[prev]["seq"], t_local, axis=1, keepdims=False)
+                penalty = penalty + jax.nn.one_hot(chosen, vocab_size,
+                                                   dtype=jnp.float32)
+            active = (t >= divm) & (t <= max_len + divm - 1)
+            stepped = group_step(carry, t_local, penalty)
+            carry = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(active, new, old), stepped, carry)
+            new_carries.append(carry)
+        return new_carries, None
+
+    init = [empty_group_carry(s0, i) for i, s0 in enumerate(state0_per_group)]
+    carries, _ = jax.lax.scan(scan_body, init, jnp.arange(max_len + g - 1))
+    seqs = jnp.stack([c["seq"] for c in carries], axis=1)       # [B, G, L]
+    pos = jnp.arange(max_len)[None, None, :]
+    is_eos = seqs == eos_id
+    first_eos = jnp.where(is_eos.any(-1), jnp.argmax(is_eos, axis=-1), max_len)
+    seqs = jnp.where(pos > first_eos[:, :, None], pad_id, seqs)
+    logp = jnp.stack([c["logp_sum"] for c in carries], axis=1)  # [B, G]
+    return seqs, logp

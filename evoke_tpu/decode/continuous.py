@@ -105,8 +105,14 @@ def init_carry(dec0: Dict[str, Any], att_mask0: jnp.ndarray, slots: int,
 def make_segment_fn(step_fn: ContinuousStepFn, *, slots: int, beam_size: int,
                     seg_steps: int, bos_id: int, eos_id: int, pad_id: int,
                     vocab_size: int, max_len: int, length_penalty: str = "",
-                    suppress_ids: Tuple[int, ...] = (), jit: bool = True):
+                    suppress_ids: Tuple[int, ...] = (), jit: bool = True,
+                    fused_topk: bool = False):
     """Build the segment function: harvest -> admit -> ``seg_steps`` beam steps.
+
+    ``fused_topk=True``: ``step_fn`` returns the fused vocab-tail triple
+    (vals [N, k] f32, idx [N, k] i32, lse [N] f32) instead of raw logits —
+    suppression is applied inside the step (ops/fused_logit_topk.py), so
+    ``suppress_ids`` must be empty here.
 
     Returned signature: ``segment(carry, pack, pack_avail, reset_pos,
     memory0) -> (carry, SegmentOutputs)``.
@@ -183,18 +189,28 @@ def make_segment_fn(step_fn: ContinuousStepFn, *, slots: int, beam_size: int,
             pack_pos=pack_offset + n_admitted,
         ), n_admitted
 
+    if fused_topk:
+        assert not suppress_ids, \
+            "fused_topk segments apply suppression inside the step kernel"
+
     def one_step(carry, i):
         p = jnp.mod(carry["t"] + i, max_len)
         age = carry["age"]
         frozen_now = jnp.all(carry["ever_fin"], axis=1)              # [B]
-        logits, dec = step_fn(carry["tok"], p, jnp.repeat(age, k), carry["dec"],
-                              carry["att_mask"], carry["aux"])
-        lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
-        for sid in suppress_ids:
-            logits = logits.at[:, sid].add(-1000.0)
-        # two-stage exact top-k (decode/beam.py raw_logits contract)
-        vals, tok_cand = topk(logits, k)                             # [N, k]
-        logp_cand = vals.astype(jnp.float32) - lse[:, None]
+        if fused_topk:
+            (vals, tok_cand, lse), dec = step_fn(
+                carry["tok"], p, jnp.repeat(age, k), carry["dec"],
+                carry["att_mask"], carry["aux"])
+            logp_cand = vals - lse[:, None]                          # both f32
+        else:
+            logits, dec = step_fn(carry["tok"], p, jnp.repeat(age, k), carry["dec"],
+                                  carry["att_mask"], carry["aux"])
+            lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+            for sid in suppress_ids:
+                logits = logits.at[:, sid].add(-1000.0)
+            # two-stage exact top-k (decode/beam.py raw_logits contract)
+            vals, tok_cand = topk(logits, k)                         # [N, k]
+            logp_cand = vals.astype(jnp.float32) - lse[:, None]
         cand = carry["alive"].reshape(n)[:, None] + logp_cand
         cand = cand.reshape(b, k, k)
         cand = jnp.where((age == 0)[:, None, None]
@@ -293,8 +309,19 @@ class ContinuousServer:
         suppress = (tokenizer.unk_id,) if suppress_unk else ()
         self._tstate_cell: List[Any] = [None]
 
+        from evoke_tpu.ops.fused_logit_topk import use_fused_logit_topk
+
+        # fused Pallas vocab tail on TPU — same policy as the batch serving
+        # path. step_wrapper (the bench's load-forcing hook) needs the raw
+        # [N, V] logits, so wrapped runs keep the unfused tail.
+        fused = step_wrapper is None and use_fused_logit_topk(model, serving=True)
+
         def raw_step(tok, p, age_rows, dec, att_mask, aux, tstate):
             variables = {"params": tstate.params, "batch_stats": tstate.batch_stats}
+            if fused:
+                return model.apply(variables, tok, p, dec, att_mask,
+                                   return_topk=beam_size, topk_suppress=suppress,
+                                   age=age_rows, method=model.decode_step)
             return model.apply(variables, tok, p, dec, att_mask,
                                return_logits=True, age=age_rows,
                                method=model.decode_step)
@@ -309,7 +336,9 @@ class ContinuousServer:
             step_fn, slots=slots, beam_size=beam_size, seg_steps=seg_steps,
             bos_id=tokenizer.bos_id, eos_id=tokenizer.eos_id,
             pad_id=tokenizer.pad_id, vocab_size=vocab, max_len=max_seq_len,
-            length_penalty=length_penalty, suppress_ids=suppress, jit=False)
+            length_penalty=length_penalty,
+            suppress_ids=() if fused else suppress, jit=False,
+            fused_topk=fused)
 
         # weights ride a jit ARGUMENT into the step closure (a cell written at
         # trace time) — closing over them directly would bake 400M params into

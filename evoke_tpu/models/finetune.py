@@ -203,9 +203,13 @@ class FinetuneModel(nn.Module):
             return self.text_decoder.init_decode_state(enc, batch, max_len, kv_dtype)
         return self.text_decoder.init_decode_state(enc, batch, max_len)
 
-    def decode_step(self, tok, pos, state, att_mask, return_logits=False, age=None):
+    def decode_step(self, tok, pos, state, att_mask, return_logits=False, age=None,
+                    return_topk=None, topk_suppress=()):
+        extra = ({"return_topk": return_topk, "topk_suppress": topk_suppress}
+                 if return_topk else {})
         if age is not None:  # ring-cache continuous serving (decode/continuous.py)
             return self.text_decoder.decode_step(tok, pos, state, att_mask,
-                                                 return_logits=return_logits, age=age)
+                                                 return_logits=return_logits, age=age,
+                                                 **extra)
         return self.text_decoder.decode_step(tok, pos, state, att_mask,
-                                             return_logits=return_logits)
+                                             return_logits=return_logits, **extra)

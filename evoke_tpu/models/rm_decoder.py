@@ -302,12 +302,19 @@ class RMDecoder(nn.Module):
             state["cache_v_scale"] = tuple(sz() for _ in range(self.num_layers))
         return state
 
-    def decode_step(self, tok, pos, state, att_mask, return_logits=False, age=None):
+    def decode_step(self, tok, pos, state, att_mask, return_logits=False, age=None,
+                    return_topk=None, topk_suppress=()):
         """tok: [B] token ids, pos: scalar int, state: from init_decode_state.
 
         Returns (log-probs [B, V+1], new state); with ``return_logits=True``
         the first element is the UNNORMALIZED logits (the beam's two-stage
         top-k normalizes only the k*k winning candidates — decode/beam.py).
+
+        ``return_topk=k``: the vocab tail (logit projection + logsumexp +
+        stage-1 top-k, with ``topk_suppress`` ids knocked down -1000) runs as
+        ONE fused Pallas kernel that never materializes the [B, V] logits in
+        HBM (ops/fused_logit_topk.py) — the first element becomes the triple
+        (vals [B, k] f32, idx [B, k] i32, lse [B] f32).
 
         age [N]: continuous-serving mode (decode/continuous.py) — rows sit
         at per-row logical positions (PE gathered per row) while ``pos`` is
@@ -332,9 +339,26 @@ class RMDecoder(nn.Module):
                 new_sk.append(sc[0])
                 new_sv.append(sc[1])
         x = self.dec_norm(x)
-        logits = self.logit(x)[:, 0, :]
-        logp = (logits if return_logits
-                else jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1))
+        if return_topk:
+            from evoke_tpu.ops.fused_logit_topk import (fused_logit_topk,
+                                                        fused_topk_interpret)
+
+            import os
+
+            p = self.logit.variables["params"]
+            # the astype casts replicate nn.Dense's promote_dtype and are
+            # loop-invariant: XLA hoists them out of the decode while_loop, so
+            # the loop reads the weights at the compute width (DESIGN 5c)
+            logp = fused_logit_topk(
+                x[:, 0, :].astype(self.dtype), p["kernel"].astype(self.dtype),
+                p["bias"].astype(self.dtype), k=int(return_topk),
+                suppress_ids=tuple(topk_suppress),
+                tile=int(os.environ.get("EVOKE_LOGIT_TILE", 2048)),
+                interpret=fused_topk_interpret())
+        else:
+            logits = self.logit(x)[:, 0, :]
+            logp = (logits if return_logits
+                    else jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1))
         new_state = {
             "memory": mem,
             "cache_k": tuple(new_k),

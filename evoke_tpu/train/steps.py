@@ -19,7 +19,8 @@ from flax import struct
 from flax.core import FrozenDict
 
 from evoke_tpu.core import prng
-from evoke_tpu.decode.beam import beam_search, diverse_beam_search, greedy_sample
+from evoke_tpu.decode.beam import (beam_search, diverse_beam_search,
+                                   diverse_sample, greedy_sample)
 
 
 class TrainState(struct.PyTreeNode):
@@ -130,13 +131,19 @@ def resolve_beam_kv(decode_cfg, serving: bool) -> str:
 
 def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                        with_indication: bool = False, serving: bool = False,
-                       logits_hook=None):
+                       logits_hook=None, all_samples: bool = False):
     """Returns a jitted (state, batch) -> seq [B, L] generation step.
 
     Dispatches to beam search (beam_size > 1) or greedy/sampling, mirroring
     att_model._sample's dispatch (att_model.py:151-155). ``serving=True``
     resolves cache_phases=0 (auto) to the measured-fastest phased schedule;
     eval paths resolve to single-phase for bit-comparable outputs.
+
+    ``all_samples=True`` returns every candidate instead of the per-study
+    best/first row: [B, beam, L] beams best-first (the reference's
+    "sample_n == beam_size: each beam is a sample", att_model.py:102-131),
+    [B, group_size, L] for diverse sampling, [B, sample_n, L] for sample_n
+    parallel samples.
 
     ``logits_hook(scores, tok, pos, batch) -> scores`` rewrites each step's
     per-row scores ([N, V] raw logits on the beam path, log-probs on the
@@ -161,6 +168,22 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
     kv_dtype = str(getattr(decode_cfg, "kv_cache_dtype", "") or "")
     ancestor_kv = resolve_beam_kv(decode_cfg, serving) == "ancestor"
     init_extra = (kv_dtype,) if kv_dtype else ()
+    sample_n = max(int(getattr(decode_cfg, "sample_n", 1)), 1)
+    if beam > 1 and decode_cfg.sample_method in ("greedy", "beam_search") \
+            and sample_n not in (1, beam // max(int(decode_cfg.group_size), 1)):
+        # the reference's gate (att_model.py:103): on the beam path each
+        # sample IS a beam, so sample_n must be 1 or the per-group beam width
+        raise ValueError(
+            f"sample_n={sample_n} with beam_size={beam}: on the beam path "
+            "sample_n must be 1 or beam_size//group_size (each beam is a "
+            "sample; pass all_samples=True to receive them)")
+    from evoke_tpu.ops.fused_logit_topk import use_fused_logit_topk
+
+    # fused Pallas vocab tail on the TPU serving path (same policy split as
+    # the lineage kernel; see use_fused_logit_topk)
+    fused = use_fused_logit_topk(
+        model, serving, logits_hook=logits_hook,
+        decoding_constraint=bool(decode_cfg.decoding_constraint))
     if phases > 1 and max_seq_len >= 2 * phases:
         schedule = tuple(-(-max_seq_len * i // phases) for i in range(1, phases + 1))
     else:
@@ -198,9 +221,26 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                     diversity_lambda=decode_cfg.diversity_lambda,
                     length_penalty=decode_cfg.length_penalty,
                     ancestor_kv=ancestor_kv, **common)
-                return res.seqs[:, 0, :]
+                return res.seqs if all_samples else res.seqs[:, 0, :]
             state0 = model.apply(variables, enc, b * beam, schedule[0], *init_extra,
                                  method=model.init_decode_state)
+
+            if fused:
+                # the whole vocab tail (logit matmul + logsumexp + stage-1
+                # top-k + suppression) runs as ONE Pallas kernel inside the
+                # step — the [N, V] logits never touch HBM
+                # (ops/fused_logit_topk.py)
+                def step(tok, pos, dstate):
+                    return model.apply(variables, tok, pos, dstate, att_mask,
+                                       return_topk=beam, topk_suppress=suppress,
+                                       method=model.decode_step)
+
+                res = beam_search(step, state0, b, beam_size=beam,
+                                  length_penalty=decode_cfg.length_penalty,
+                                  cache_schedule=schedule, raw_logits=True,
+                                  fused_topk=True,
+                                  ancestor_kv=ancestor_kv, **common)
+                return res.seqs if all_samples else res.seqs[:, 0, :]
 
             # raw-logits two-stage top-k (exact; see beam_search docstring):
             # skips the [N, V] f32 log_softmax in the loop — a large-vocab win
@@ -217,17 +257,7 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                               decoding_constraint=bool(decode_cfg.decoding_constraint),
                               cache_schedule=schedule, raw_logits=True,
                               ancestor_kv=ancestor_kv, **common)
-            return res.seqs[:, 0, :]
-        state0 = model.apply(variables, enc, b, schedule[0], *init_extra,
-                             method=model.init_decode_state)
-
-        def step(tok, pos, dstate):
-            out = model.apply(variables, tok, pos, dstate, att_mask,
-                              method=model.decode_step)
-            if logits_hook is not None:
-                out = (logits_hook(out[0], tok, pos, batch), out[1])
-            return out
-
+            return res.seqs if all_samples else res.seqs[:, 0, :]
         # sampling-method parity with caption_model.py:363-401: "topN" strings
         # encode the cutoff (N >= 1 -> top-k, 0 < N < 1 -> nucleus), "gumbel"
         # (argmax over gumbel-perturbed logits) IS categorical sampling
@@ -244,13 +274,54 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                 method, top_p = "top_p", num
             else:
                 method, top_k = "top_k", int(num)
-        seq, _ = greedy_sample(step, state0, b, sample_method=method,
+
+        def make_step(mask):
+            def step(tok, pos, dstate):
+                out = model.apply(variables, tok, pos, dstate, mask,
+                                  method=model.decode_step)
+                if logits_hook is not None:
+                    out = (logits_hook(out[0], tok, pos, batch), out[1])
+                return out
+
+            return step
+
+        groups = max(int(decode_cfg.group_size), 1)
+        if groups > 1:
+            # diverse SAMPLING (att_model.py:231-320 _diverse_sample): the
+            # group_size > 1 path when the beam dispatch above did not take
+            states = [model.apply(variables, enc, b, max_seq_len,
+                                  method=model.init_decode_state)
+                      for _ in range(groups)]
+            seqs, _ = diverse_sample(
+                make_step(att_mask), states, b, group_size=groups,
+                sample_method=method, temperature=decode_cfg.temperature,
+                top_k=top_k, top_p=top_p,
+                diversity_lambda=decode_cfg.diversity_lambda,
+                block_trigrams=bool(decode_cfg.block_trigrams),
+                decoding_constraint=bool(decode_cfg.decoding_constraint),
+                **common)
+            return seqs if all_samples else seqs[:, 0, :]
+
+        # sample_n parallel stochastic samples per study (att_model.py:160-165
+        # repeat_tensors): rows are study-major [b * n], each with its own
+        # PRNG stream via jax.random.categorical's per-row draws
+        rows, mask = b, att_mask
+        if sample_n > 1:
+            enc = jnp.repeat(enc, sample_n, axis=0)
+            mask = jnp.repeat(att_mask, sample_n, axis=0)
+            rows = b * sample_n
+        state0 = model.apply(variables, enc, rows, schedule[0], *init_extra,
+                             method=model.init_decode_state)
+        seq, _ = greedy_sample(make_step(mask), state0, rows, sample_method=method,
                                temperature=decode_cfg.temperature,
                                top_k=top_k, top_p=top_p,
                                block_trigrams=bool(decode_cfg.block_trigrams),
                                decoding_constraint=bool(decode_cfg.decoding_constraint),
                                cache_schedule=schedule,
                                **common)
+        if sample_n > 1:
+            seq = seq.reshape(b, sample_n, max_seq_len)
+            return seq if all_samples else seq[:, 0, :]
         return seq
 
     return generate_step
