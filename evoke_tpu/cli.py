@@ -408,6 +408,16 @@ def _retrieve(cfg, model, tokenizer, ann, loaders) -> int:
     with open(out_path, "w") as f:
         _json.dump(target_ann, f)
     print(f"wrote {out_path}")
+    if cfg.data.retrieve_plot > 0:
+        from evoke_tpu.retrieval.topk import plot_topk_images
+
+        plot_dir = os.path.join(cfg.result_dir, "sk_analysis")
+        for split in ("train", "val", "test"):
+            wrote = plot_topk_images(
+                target_ann, split, id_to_item, cfg.data.image_dir, plot_dir,
+                topk=min(topk, 3), n_studies=cfg.data.retrieve_plot,
+                db_image_dir=cfg.data.retrieve_db_image_dir or None)
+            print(f"wrote {len(wrote)} {split} retrieval grids to {plot_dir}")
     return 0
 
 

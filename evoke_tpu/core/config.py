@@ -189,6 +189,10 @@ class DataConfig:
     retrieve_db_ann_path: str = ""               # "" = same-corpus retrieval
     retrieve_db_image_dir: str = ""
     retrieve_topk: int = 20
+    # N > 0: write N retrieved-neighbor grid PNGs per split for visual
+    # inspection (reference PretrainTestAnalysis.show_topk_images,
+    # modules/utils.py:611-721)
+    retrieve_plot: int = 0
 
 
 @dataclass

@@ -280,7 +280,8 @@ class ContinuousServer:
                  dispatch_segs: int = 4, pack_batches: int = 4,
                  suppress_unk: bool = False,
                  length_penalty: str = "", step_wrapper=None,
-                 beam_kv: str = "auto", kv_cache_dtype: str = ""):
+                 beam_kv: str = "auto", kv_cache_dtype: str = "",
+                 mesh=None):
         if getattr(model, "decoder_kind", "r2gen") != "r2gen":
             raise NotImplementedError(
                 "continuous serving needs ring-cache (age-aware) decode steps; "
@@ -298,10 +299,22 @@ class ContinuousServer:
 
         from evoke_tpu.train.steps import resolve_beam_kv
 
+        # mesh: dp-shard the engine over the SLOT axis — carry, packs and
+        # loader batches all shard their leading (slot/row) dim over 'dp';
+        # GSPMD partitions the jitted segment (admission gathers become
+        # collectives). Params stay replicated. slots must divide by dp.
+        self.mesh = mesh
+        if mesh is not None:
+            dp = mesh.shape["dp"]
+            assert slots % dp == 0, f"slots={slots} must divide by dp={dp}"
         # same auto policy as the batch serving path: ancestor-table ring
-        # caches + the Pallas lineage kernel on TPU, reorder elsewhere
+        # caches + the Pallas lineage kernel on TPU, reorder elsewhere.
+        # Under a mesh, auto resolves to reorder: the Pallas kernels need an
+        # explicit shard_map partitioning under GSPMD (resolve_beam_kv
+        # docstring) — set beam_kv='ancestor' explicitly to override.
         self._beam_kv = resolve_beam_kv(
-            SimpleNamespace(beam_kv=beam_kv, kv_cache_dtype=""), serving=True)
+            SimpleNamespace(beam_kv=beam_kv, kv_cache_dtype=""),
+            serving=mesh is None)
         self.model, self.tokenizer, self.state = model, tokenizer, state
         self.max_len = max_seq_len
         self.slots, self.k, self.seg_steps = slots, beam_size, seg_steps
@@ -313,8 +326,10 @@ class ContinuousServer:
 
         # fused Pallas vocab tail on TPU — same policy as the batch serving
         # path. step_wrapper (the bench's load-forcing hook) needs the raw
-        # [N, V] logits, so wrapped runs keep the unfused tail.
-        fused = step_wrapper is None and use_fused_logit_topk(model, serving=True)
+        # [N, V] logits, and a mesh needs shard_map for pallas_call, so both
+        # keep the unfused tail.
+        fused = (step_wrapper is None and mesh is None
+                 and use_fused_logit_topk(model, serving=True))
 
         def raw_step(tok, p, age_rows, dec, att_mask, aux, tstate):
             variables = {"params": tstate.params, "batch_stats": tstate.batch_stats}
@@ -422,6 +437,14 @@ class ContinuousServer:
             dec0, jnp.ones((self.slots, p_len), pack["att_mask"].dtype),
             self.slots, self.k, self.max_len,
             self.tokenizer.pad_id, self.tokenizer.bos_id)
+        if self.mesh is not None:
+            # slot-axis dp sharding for every [slots, ...] / [slots*k, ...]
+            # leaf (rows are slot-major, so slots % dp keeps rows aligned);
+            # scalars (t, pack_pos) replicate
+            from evoke_tpu.core.mesh import shard_batch
+
+            self._carry = shard_batch(self._carry, self.mesh)
+            self._memory0 = shard_batch(self._memory0, self.mesh)
 
     def serve(self, loader, prefetch: int = 2, depth: int = 4,
               readers: int = 2):
@@ -460,7 +483,7 @@ class ContinuousServer:
         n_total = 0
         steps = 0
 
-        batches = device_prefetch(Prefetcher(loader, prefetch), None, prefetch)
+        batches = device_prefetch(Prefetcher(loader, prefetch), self.mesh, prefetch)
         loader_done = False
         t0 = time.perf_counter()
 

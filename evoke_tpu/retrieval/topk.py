@@ -17,6 +17,7 @@ running top-k buffer merges per chunk.
 from __future__ import annotations
 
 import hashlib
+import os
 import json
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -169,3 +170,67 @@ def retrieval_quality(ann: Dict[str, List[dict]], split: str,
     return {"n_scored": float(len(gts)), "retrieved_top1_BLEU_4": b_best[3],
             "retrieved_top1_ROUGE_L": r_best,
             "retrieved_topk_mean_BLEU_4": b_all[3]}
+
+
+def plot_topk_images(ann: Dict[str, List[dict]], split: str,
+                     id_to_item: Dict[str, dict], image_dir: str, out_dir: str,
+                     topk: int = 3, n_studies: int = 10,
+                     db_image_dir: Optional[str] = None, seed: int = 0
+                     ) -> List[str]:
+    """Render retrieved-neighbor grids for visual inspection (the reference's
+    ``PretrainTestAnalysis.show_topk_images`` + ``plot_images``,
+    modules/utils.py:611-721): for ``n_studies`` randomly sampled studies of
+    ``split`` that carry ``specific_knowledge``, write a 2x2 JPEG/PNG grid —
+    the anchor image (with the top-1 retrieved report's BLEU-4/ROUGE-L vs the
+    study's own report drawn on it, the reference's re-scoring title) plus the
+    top-``topk`` retrieved images. PIL instead of matplotlib (the repo's
+    heatmap convention, evals/heatmaps.py); the re-scoring uses the NLG
+    scorers rather than the reference's CE stack (env-gated here — the CE
+    variant lives behind evals/adapters.py). Returns the written paths.
+    """
+    import numpy as np
+    from PIL import Image, ImageDraw
+
+    from evoke_tpu.evals.nlg import bleu, rouge_l
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    items = [it for it in ann.get(split, [])
+             if (it.get("specific_knowledge") or {}).get("sk_ids")
+             and it.get("image_path")]
+    if not items:
+        return []
+    pick = rng.permutation(len(items))[:n_studies]
+    tile = 256
+    written = []
+    for i in pick:
+        item = items[int(i)]
+        sk = item["specific_knowledge"]
+        hits = [h for h in sk["sk_ids"][:topk] if h in id_to_item]
+        paths = [(os.path.join(image_dir, item["image_path"][0]), None)]
+        paths += [(os.path.join(db_image_dir or image_dir,
+                                id_to_item[h]["image_path"][0]), h) for h in hits]
+        # reference title: similarity of the study's report to its retrieved
+        # reports (temp_compute_scores, utils.py:611-614)
+        title = "no report"
+        if item.get("report") and sk.get("reports"):
+            g = {"0": [item["report"]]}
+            r = {"0": [sk["reports"][0]]}
+            b4, _ = bleu(g, r, 4)
+            rl, _ = rouge_l(g, r)
+            title = f"top1 bleu4:{b4[3]:.3f} rouge_l:{rl:.3f}"
+        canvas = Image.new("RGB", (2 * tile, 2 * tile), (0, 0, 0))
+        for j, (path, _) in enumerate(paths[:4]):
+            try:
+                img = Image.open(path).convert("RGB").resize((tile, tile))
+            except OSError:
+                img = Image.new("RGB", (tile, tile), (40, 40, 40))
+            canvas.paste(img, ((j % 2) * tile, (j // 2) * tile))
+        draw = ImageDraw.Draw(canvas)
+        draw.rectangle([0, 0, 2 * tile, 14], fill=(0, 0, 0))
+        draw.text((2, 2), title, fill=(255, 255, 0))
+        out = os.path.join(out_dir,
+                           f"{split}_{item['id']}_specific_knowledge.png")
+        canvas.save(out)
+        written.append(out)
+    return written

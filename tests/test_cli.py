@@ -75,7 +75,8 @@ class TestRetrieveCLI:
         rc = cli_main(["retrieve", "--data.ann_path", ann, "--data.image_dir", root,
                        "--data.tokenizer_dir", os.path.join(root, "tok"),
                        "--trainer.result_dir", os.path.join(root, "results"),
-                       "--trainer.version", "ret", "--data.retrieve_topk", "2"] + TINY)
+                       "--trainer.version", "ret", "--data.retrieve_topk", "2",
+                       "--data.retrieve_plot", "2"] + TINY)
         assert rc == 0
         out = ann.replace(".json", "_best_reports_keywords_2.json")
         assert os.path.exists(out)
@@ -86,6 +87,20 @@ class TestRetrieveCLI:
         # retrieved ids come from the train split, never the query itself
         train_ids = {it["id"] for it in aug["train"]}
         assert set(sk["sk_ids"]) <= train_ids
+        # retrieval-neighbor grids (reference show_topk_images/plot_images,
+        # modules/utils.py:611-721): real PNGs per split in sk_analysis/
+        import glob
+
+        # the retrieve task derives its result dir under the pretrain task
+        # (it runs on stage-1 weights, like the reference's PretrainTester)
+        plot_dir = os.path.join(root, "results", "mimic_cxr", "pretrain", "ret",
+                                "sk_analysis")
+        pngs = glob.glob(os.path.join(plot_dir, "*_specific_knowledge.png"))
+        assert pngs, plot_dir
+        from PIL import Image
+
+        im = Image.open(pngs[0])
+        assert im.size == (512, 512) and im.getbbox() is not None
 
 
 @pytest.mark.slow

