@@ -194,7 +194,8 @@ def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, p
                 decoding_constraint: bool = False, early_stop: bool = True,
                 unroll: int = 1, raw_logits: bool = False,
                 cache_schedule: Optional[Tuple[int, ...]] = None,
-                ancestor_kv: bool = False, fused_topk: bool = False) -> BeamResult:
+                ancestor_kv: bool = False, fused_topk: bool = False,
+                chain_split: int = 1) -> BeamResult:
     """Batched beam search over a KV-cached step function.
 
     ``state0`` must already be sized for N = batch * beam_size rows (broadcast
@@ -242,13 +243,41 @@ def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, p
     lp = penalty_fn(length_penalty)
     schedule = (_validate_schedule(cache_schedule, max_len)
                 if cache_schedule is not None else (max_len,))
+    # chain_split > 1: the decode state is a TUPLE of per-sub-batch states and
+    # ``step`` runs the model once per sub-batch inside the loop body (full-
+    # width tok in, full-width scores out). The beam bookkeeping stays full-
+    # width; only the state-side ops (gather/grow) apply per sub-state. This
+    # hands XLA ``chain_split`` independent dependency chains to schedule into
+    # each other's bubbles — the TPU analogue of concurrent CUDA streams for
+    # a latency-bound step (DESIGN 5i/5n).
+    cs = max(int(chain_split), 1)
+    if cs > 1:
+        assert batch % cs == 0, f"batch {batch} must divide by chain_split {cs}"
+        assert isinstance(state0, tuple) and len(state0) == cs, \
+            "chain_split needs state0 as a tuple of per-sub-batch decode states"
+    bh = batch // cs
+
+    def _state_map(fn, state):
+        return tuple(fn(s, i) for i, s in enumerate(state)) if cs > 1 \
+            else fn(state, 0)
+
+    def _gather_split(state, beam_idx, pos):
+        if cs == 1:
+            return _gather_beams(state, beam_idx, batch, k, pos=pos)
+        return tuple(_gather_beams(s, beam_idx[i * bh:(i + 1) * bh], bh, k, pos=pos)
+                     for i, s in enumerate(state))
+
     if ancestor_kv:
         # caches stay un-permuted; an [B, k, L] ancestor table tracks lineages
         # (_gather_beams / models/layers.py cached_self_attention)
-        assert isinstance(state0, dict) and "cache_k" in state0, \
-            "ancestor_kv needs a dict decode state with cache_k/cache_v"
-        lcache = jax.tree_util.tree_leaves(state0["cache_k"])[0].shape[1]
-        state0 = dict(state0, anc=jnp.zeros((batch, k, lcache), jnp.int32))
+        def add_anc(s, _i):
+            assert isinstance(s, dict) and "cache_k" in s, \
+                "ancestor_kv needs a dict decode state with cache_k/cache_v"
+            lcache = jax.tree_util.tree_leaves(s["cache_k"])[0].shape[1]
+            return dict(s, anc=jnp.zeros((bh if cs > 1 else batch, k, lcache),
+                                         jnp.int32))
+
+        state0 = _state_map(add_anc, state0)
 
     def scan_body(carry, t):
         (tok, dec_state, alive_logp, seq, done_seq, done_score, ever_finished) = carry
@@ -306,7 +335,7 @@ def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, p
 
         seq = jnp.take_along_axis(seq, beam_idx[:, :, None], axis=1)
         seq = jax.lax.dynamic_update_index_in_dim(seq, tok_idx, t, axis=2)
-        dec_state = _gather_beams(dec_state, beam_idx, batch, k, pos=t)
+        dec_state = _gather_split(dec_state, beam_idx, t)
 
         finished = (tok_idx == eos_id) | (t == max_len - 1)  # [B, k]
         length = jnp.float32(t + 1)
@@ -348,8 +377,9 @@ def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, p
 
             t, carry = jax.lax.while_loop(cond, body, (t, carry))
             if seg_end != schedule[-1]:
-                carry = carry[:1] + (grow_caches(carry[1], _next_after(schedule, seg_end)),
-                                     ) + carry[2:]
+                nxt = _next_after(schedule, seg_end)
+                carry = carry[:1] + (_state_map(lambda s, _i: grow_caches(s, nxt),
+                                                carry[1]),) + carry[2:]
         (tok, dec_state, alive_logp, seq, done_seq, done_score, _ever) = carry
     else:
         carry, t0 = init, 0
@@ -358,8 +388,9 @@ def beam_search(step: StepFn, state0, batch: int, *, bos_id: int, eos_id: int, p
                                     unroll=unroll)
             t0 = seg_end
             if seg_end != schedule[-1]:
-                carry = carry[:1] + (grow_caches(carry[1], _next_after(schedule, seg_end)),
-                                     ) + carry[2:]
+                nxt = _next_after(schedule, seg_end)
+                carry = carry[:1] + (_state_map(lambda s, _i: grow_caches(s, nxt),
+                                                carry[1]),) + carry[2:]
         (tok, dec_state, alive_logp, seq, done_seq, done_score, _ever) = carry
 
     # zero out everything after (and excluding nothing) — tokens after EOS become PAD

@@ -96,15 +96,35 @@ class ConditionalLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, memory):
-        """x: [B, T, D], memory: [B, T, S*Drm] (broadcastable on T)."""
+        """x: [B, T, D], memory: [B, T, S*Drm] (broadcastable on T).
+
+        The gamma/beta-offset MLPs run at the model compute dtype: they are
+        the DECODE STEP'S FLOP AND WEIGHT-READ BULK (9 CLNs x ~2.1M params =
+        ~19M of the ~21M per-step decoder params; at f32 that was ~75 MB of
+        HBM weight reads plus f32-rate matmuls EVERY token — rounds 1-3
+        silently left them f32 because this module never passed its dtype to
+        its Dense layers). The LN statistics and the affine application stay
+        f32 regardless, and the offsets are per-step functions of the memory
+        (no cross-step compounding). EVOKE_CLN_MLP=f32 restores the old
+        behavior (A/B escape hatch; measured on v5e, DESIGN 5n)."""
+        import os
+
         d = self.d_model
+        mlp_dt = (jnp.float32 if os.environ.get("EVOKE_CLN_MLP", "dtype") == "f32"
+                  else self.dtype)
         bias_01 = nn.initializers.constant(0.1)
         gamma = self.param("gamma", nn.initializers.ones, (d,))
         beta = self.param("beta", nn.initializers.zeros, (d,))
-        dg = nn.Dense(d, kernel_init=xavier, bias_init=bias_01, name="mlp_gamma_0")(memory)
-        dg = nn.Dense(d, kernel_init=xavier, bias_init=bias_01, name="mlp_gamma_1")(nn.relu(dg))
-        db = nn.Dense(d, kernel_init=xavier, bias_init=bias_01, name="mlp_beta_0")(memory)
-        db = nn.Dense(d, kernel_init=xavier, bias_init=bias_01, name="mlp_beta_1")(nn.relu(db))
+        dg = nn.Dense(d, kernel_init=xavier, bias_init=bias_01, dtype=mlp_dt,
+                      name="mlp_gamma_0")(memory.astype(mlp_dt))
+        dg = nn.Dense(d, kernel_init=xavier, bias_init=bias_01, dtype=mlp_dt,
+                      name="mlp_gamma_1")(nn.relu(dg))
+        db = nn.Dense(d, kernel_init=xavier, bias_init=bias_01, dtype=mlp_dt,
+                      name="mlp_beta_0")(memory.astype(mlp_dt))
+        db = nn.Dense(d, kernel_init=xavier, bias_init=bias_01, dtype=mlp_dt,
+                      name="mlp_beta_1")(nn.relu(db))
+        dg = dg.astype(jnp.float32)
+        db = db.astype(jnp.float32)
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.sum((xf - mean) ** 2, axis=-1, keepdims=True) / max(d - 1, 1)

@@ -222,6 +222,61 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                     length_penalty=decode_cfg.length_penalty,
                     ancestor_kv=ancestor_kv, **common)
                 return res.seqs if all_samples else res.seqs[:, 0, :]
+            # EVOKE_SPLIT_CHAINS=2: run the decode step as ``cs`` independent
+            # half-batch model calls inside one loop body — two dependency
+            # chains for XLA to overlap on a latency-bound step (DESIGN 5n).
+            # Serving-only experiment knob; output-exact (same per-sample math).
+            import os as _os
+
+            cs = int(_os.environ.get("EVOKE_SPLIT_CHAINS", "1")) if serving else 1
+            if cs > 1 and b % cs == 0:
+                bh, nh = b // cs, (b // cs) * beam
+                state0 = tuple(
+                    model.apply(variables, enc[i * bh:(i + 1) * bh], nh,
+                                schedule[0], *init_extra,
+                                method=model.init_decode_state)
+                    for i in range(cs))
+
+                def _split_step(tok, pos, dstate, **kw):
+                    outs, states = [], []
+                    for i in range(cs):
+                        o, s = model.apply(
+                            variables, tok[i * nh:(i + 1) * nh], pos, dstate[i],
+                            att_mask[i * bh:(i + 1) * bh], **kw,
+                            method=model.decode_step)
+                        outs.append(o)
+                        states.append(s)
+                    merged = jax.tree_util.tree_map(
+                        lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+                    return merged, tuple(states)
+
+                if fused:
+                    def step(tok, pos, dstate):
+                        return _split_step(tok, pos, dstate, return_topk=beam,
+                                           topk_suppress=suppress)
+
+                    res = beam_search(step, state0, b, beam_size=beam,
+                                      length_penalty=decode_cfg.length_penalty,
+                                      cache_schedule=schedule, raw_logits=True,
+                                      fused_topk=True, chain_split=cs,
+                                      ancestor_kv=ancestor_kv, **common)
+                    return res.seqs if all_samples else res.seqs[:, 0, :]
+
+                def step(tok, pos, dstate):
+                    out = _split_step(tok, pos, dstate, return_logits=True)
+                    if logits_hook is not None:
+                        out = (logits_hook(out[0], tok, pos, batch), out[1])
+                    return out
+
+                res = beam_search(step, state0, b, beam_size=beam,
+                                  length_penalty=decode_cfg.length_penalty,
+                                  suppress_ids=suppress,
+                                  decoding_constraint=bool(decode_cfg.decoding_constraint),
+                                  cache_schedule=schedule, raw_logits=True,
+                                  chain_split=cs,
+                                  ancestor_kv=ancestor_kv, **common)
+                return res.seqs if all_samples else res.seqs[:, 0, :]
+
             state0 = model.apply(variables, enc, b * beam, schedule[0], *init_extra,
                                  method=model.init_decode_state)
 

@@ -176,3 +176,29 @@ class TestFusedBeamE2E:
                                  beam_size=2, seg_steps=4, suppress_unk=True)
         recs, _ = fused.serve(loader)
         assert {r["id"]: r["report"] for r in recs} == golden
+
+
+class TestChainSplit:
+    def test_split_chains_token_parity(self, tmp_path, monkeypatch):
+        """EVOKE_SPLIT_CHAINS=2 (two independent half-batch model chains per
+        loop body, DESIGN 5n) is output-exact vs the single-chain step, on
+        both the fused and unfused vocab tails."""
+        from evoke_tpu.core.config import DecodeConfig
+        from evoke_tpu.train.steps import make_generate_step
+        from tests.test_continuous import _tiny_setup
+
+        model, tok, state, loader, _ = _tiny_setup(tmp_path)
+        cfg = DecodeConfig(beam_size=2)
+        b = next(iter(loader))
+        dev = {k: v for k, v in b.items() if not k.startswith("_")}
+        for mode in ("xla", "fused"):
+            monkeypatch.setenv("EVOKE_LOGIT_TOPK", mode)
+            monkeypatch.delenv("EVOKE_SPLIT_CHAINS", raising=False)
+            gen1 = make_generate_step(model, tok, cfg, 16, with_indication=False,
+                                      serving=True)
+            want = np.asarray(gen1(state, dev))
+            monkeypatch.setenv("EVOKE_SPLIT_CHAINS", "2")
+            gen2 = make_generate_step(model, tok, cfg, 16, with_indication=False,
+                                      serving=True)
+            np.testing.assert_array_equal(np.asarray(gen2(state, dev)), want,
+                                          err_msg=mode)
