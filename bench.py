@@ -127,12 +127,11 @@ def analytic_decode_model(variables, model, image_size, n_images, n_anchor, beam
               "dec_step": 0, "dec_step_bf16": 0, "other": 0}
     # per-step weights XLA reads at 2 bytes: consumed through a hoisted
     # promote_dtype cast (nn.Dense/MHA/FFN built WITH dtype=bfloat16); the
-    # f32-MATH weights (RM, LNs) stay 4-byte reads. The CLN offset MLPs —
-    # ~19M of the ~21M per-step decoder params — follow the compute dtype
-    # since round 4 (rm_decoder.ConditionalLayerNorm; EVOKE_CLN_MLP=f32
-    # restores the old 4-byte behavior)
+    # f32-MATH weights (RM, CLN offset MLPs, LNs) stay 4-byte reads — the
+    # CLN-MLPs-at-bf16 variant measured NEUTRAL and was rejected (DESIGN 5n;
+    # EVOKE_CLN_MLP=dtype opts in)
     bf16_consumed = ("/wq/", "/wk/", "/wv/", "/wo/", "/ff/", "/logit/")
-    if os.environ.get("EVOKE_CLN_MLP", "dtype") != "f32":
+    if os.environ.get("EVOKE_CLN_MLP", "f32") == "dtype":
         bf16_consumed += ("/mlp_gamma_", "/mlp_beta_")
     import jax
     import jax.numpy as jnp

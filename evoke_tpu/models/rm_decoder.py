@@ -98,20 +98,21 @@ class ConditionalLayerNorm(nn.Module):
     def __call__(self, x, memory):
         """x: [B, T, D], memory: [B, T, S*Drm] (broadcastable on T).
 
-        The gamma/beta-offset MLPs run at the model compute dtype: they are
-        the DECODE STEP'S FLOP AND WEIGHT-READ BULK (9 CLNs x ~2.1M params =
-        ~19M of the ~21M per-step decoder params; at f32 that was ~75 MB of
-        HBM weight reads plus f32-rate matmuls EVERY token — rounds 1-3
-        silently left them f32 because this module never passed its dtype to
-        its Dense layers). The LN statistics and the affine application stay
-        f32 regardless, and the offsets are per-step functions of the memory
-        (no cross-step compounding). EVOKE_CLN_MLP=f32 restores the old
-        behavior (A/B escape hatch; measured on v5e, DESIGN 5n)."""
+        The gamma/beta-offset MLPs stay f32 BY MEASUREMENT, not by accident:
+        they are the decode step's FLOP and weight-read bulk (9 CLNs x ~2.1M
+        params = ~19M of the ~21M per-step decoder params — ~75 MB of f32 HBM
+        weight reads every token at the serving config), yet running them at
+        the bf16 compute dtype measured NEUTRAL on a real v5e (636 vs 632 r/s
+        interleaved @224 batch 64) while flipping 95% of generated rows: the
+        decode loop is op-chain-latency-bound, not bandwidth-bound (DESIGN
+        5i/5n), so the halved reads buy nothing and the numerics cost is
+        real. EVOKE_CLN_MLP=dtype opts into the compute dtype anyway (the
+        A/B knob)."""
         import os
 
         d = self.d_model
-        mlp_dt = (jnp.float32 if os.environ.get("EVOKE_CLN_MLP", "dtype") == "f32"
-                  else self.dtype)
+        mlp_dt = (self.dtype if os.environ.get("EVOKE_CLN_MLP", "f32") == "dtype"
+                  else jnp.float32)
         bias_01 = nn.initializers.constant(0.1)
         gamma = self.param("gamma", nn.initializers.ones, (d,))
         beta = self.param("beta", nn.initializers.zeros, (d,))
