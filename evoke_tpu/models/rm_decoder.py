@@ -342,7 +342,15 @@ class RMDecoder(nn.Module):
         the shared physical ring slot the caches write at.
         """
         x = self.tgt_embed.at_position(tok, pos, age=age)      # [B, 1, D]
-        mem = self.rm.step(x[:, 0, :], state["memory"])        # [B, S*D]
+        import os
+        if os.environ.get("EVOKE_RM_PROBE", "") == "skip":
+            # measurement-only knob (NOT exact): carry the memory unchanged to
+            # price the RM update's serialized chain cost (DESIGN §5i: ~12
+            # tiny-op stages at the head of every decode step). A/B'd against
+            # the default to decide whether a fused RM kernel is worth building.
+            mem = state["memory"]
+        else:
+            mem = self.rm.step(x[:, 0, :], state["memory"])    # [B, S*D]
         cross_mask = make_cross_mask(att_mask)
         anc = state.get("anc")
         quant = "cache_k_scale" in state
