@@ -458,15 +458,34 @@ def bench_engines(image_size, deadline=None, model=None, init_variables=None):
         big = jnp.asarray(3e4, scores.dtype)   # bf16-safe forced-EOS bias
         return jnp.where(at_end, big, jnp.where(before, -big, scores))
 
+    def _force_topk(vals, idx, age_rows, tgt_rows):
+        # the same forcing on the FUSED tail's [N, k] candidates (so the A/B
+        # measures the production kernel, not the logits-hook fallback):
+        # before the target, any EOS candidate is knocked out of contention;
+        # at the target, candidate 0 becomes EOS at +big and the rest -big —
+        # stage-2 then picks EOS for every beam, exactly like _force
+        at_end = (age_rows == tgt_rows - 1)[:, None]
+        big = jnp.asarray(3e4, vals.dtype)
+        vals = jnp.where((idx == eos) & ~at_end, -big, vals)
+        col0 = jnp.arange(idx.shape[1])[None, :] == 0
+        vals = jnp.where(at_end, jnp.where(col0, big, -big), vals)
+        idx = jnp.where(at_end & col0, eos, idx)
+        return vals, idx
+
     # --- batch engine: same steady-state pipeline as the headline, forced mix
     def hook(scores, tok, pos, bt):
         tgt = jnp.repeat(bt["target_len"], scores.shape[0] // b)
         return _force(scores, jnp.full(scores.shape[:1], pos, jnp.int32), tgt)
 
+    def topk_hook(vals, idx, lse, tok, pos, bt):
+        tgt = jnp.repeat(bt["target_len"], vals.shape[0] // b)
+        return _force_topk(vals, idx,
+                           jnp.full(vals.shape[:1], pos, jnp.int32), tgt)
+
     cfg = DecodeConfig(beam_size=beam,
                        cache_phases=int(os.environ.get("BENCH_CACHE_PHASES", 8)))
     gen = make_generate_step(model, _Tok(), cfg, GEN_LEN, with_indication=True,
-                             serving=True, logits_hook=hook)
+                             serving=True, logits_hook=hook, topk_hook=topk_hook)
     bt0 = dict(batch, target_len=jnp.asarray(tl[0]))
     seqs = np.asarray(gen(state, bt0))  # compile + warmup + length check
     got_len = (seqs[:, :] == eos).argmax(axis=1) + 1
@@ -511,13 +530,17 @@ def bench_engines(image_size, deadline=None, model=None, init_variables=None):
             return _force(logits, age_rows, jnp.repeat(aux, beam)), dec
         return step
 
+    def topk_wrapper(vals, idx, lse, age_rows, aux):
+        return _force_topk(vals, idx, age_rows, jnp.repeat(aux, beam))
+
     dispatch_segs = int(os.environ.get("BENCH_DISPATCH_SEGS", 4))
     pack_batches = int(os.environ.get("BENCH_PACK_BATCHES", 4))
     srv = ContinuousServer(model, _Tok(), state, max_seq_len=GEN_LEN, slots=b,
                            beam_size=beam, seg_steps=seg_steps,
                            dispatch_segs=dispatch_segs,
                            pack_batches=pack_batches,
-                           step_wrapper=step_wrapper)
+                           step_wrapper=step_wrapper,
+                           topk_wrapper=topk_wrapper)
 
     class _Loader:
         def __iter__(self):

@@ -280,6 +280,7 @@ class ContinuousServer:
                  dispatch_segs: int = 4, pack_batches: int = 4,
                  suppress_unk: bool = False,
                  length_penalty: str = "", step_wrapper=None,
+                 topk_wrapper=None,
                  beam_kv: str = "auto", kv_cache_dtype: str = "",
                  mesh=None):
         if getattr(model, "decoder_kind", "r2gen") != "r2gen":
@@ -325,23 +326,35 @@ class ContinuousServer:
         from evoke_tpu.ops.fused_logit_topk import use_fused_logit_topk
 
         # fused Pallas vocab tail on TPU — same policy as the batch serving
-        # path. step_wrapper (the bench's load-forcing hook) needs the raw
+        # path. A step_wrapper (the bench's load-forcing hook) needs the raw
         # [N, V] logits, and a mesh needs shard_map for pallas_call, so both
-        # keep the unfused tail.
-        fused = (step_wrapper is None and mesh is None
-                 and use_fused_logit_topk(model, serving=True))
+        # keep the unfused tail — UNLESS a topk_wrapper is also given:
+        # ``topk_wrapper(vals, idx, lse, age_rows, aux) -> (vals, idx)``
+        # rewrites the fused kernel's [N, k] candidates instead, so forced
+        # workloads measure the production (fused) tail. When the fused path
+        # is taken, step_wrapper is ignored (callers provide EQUIVALENT
+        # forcings per path — bench.py does; same contract as
+        # make_generate_step's logits_hook/topk_hook pair).
+        fused = (mesh is None and use_fused_logit_topk(model, serving=True)
+                 and (step_wrapper is None or topk_wrapper is not None))
 
         def raw_step(tok, p, age_rows, dec, att_mask, aux, tstate):
             variables = {"params": tstate.params, "batch_stats": tstate.batch_stats}
             if fused:
-                return model.apply(variables, tok, p, dec, att_mask,
-                                   return_topk=beam_size, topk_suppress=suppress,
-                                   age=age_rows, method=model.decode_step)
+                out, dec2 = model.apply(variables, tok, p, dec, att_mask,
+                                        return_topk=beam_size, topk_suppress=suppress,
+                                        age=age_rows, method=model.decode_step)
+                if topk_wrapper is not None:
+                    vals, idx, lse = out
+                    vals, idx = topk_wrapper(vals, idx, lse, age_rows, aux)
+                    out = (vals, idx, lse)
+                return out, dec2
             return model.apply(variables, tok, p, dec, att_mask,
                                return_logits=True, age=age_rows,
                                method=model.decode_step)
 
-        wrapped = step_wrapper(raw_step) if step_wrapper else raw_step
+        wrapped = (step_wrapper(raw_step) if step_wrapper and not fused
+                   else raw_step)
         cell = self._tstate_cell
 
         def step_fn(tok, p, age_rows, dec, att_mask, aux):

@@ -131,7 +131,8 @@ def resolve_beam_kv(decode_cfg, serving: bool) -> str:
 
 def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                        with_indication: bool = False, serving: bool = False,
-                       logits_hook=None, all_samples: bool = False):
+                       logits_hook=None, topk_hook=None,
+                       all_samples: bool = False):
     """Returns a jitted (state, batch) -> seq [B, L] generation step.
 
     Dispatches to beam search (beam_size > 1) or greedy/sampling, mirroring
@@ -151,6 +152,15 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
     Load-testing surface: bench.py forces EOS at per-study target lengths
     (read from the batch) to measure serving engines under a controlled
     length distribution; None (the default) is the production path.
+
+    ``topk_hook(vals, idx, lse, tok, pos, batch) -> (vals, idx)`` is the
+    same forcing surface for the FUSED vocab tail: a logits_hook needs the
+    full [N, V] logits and therefore forces the unfused XLA tail (the A/B
+    then under-measures the production kernel by the fused tail's ~6.5%,
+    DESIGN 5m). When both hooks are given, the fused path uses topk_hook on
+    the kernel's [N, k] candidates and ignores logits_hook; the unfused
+    path uses logits_hook and ignores topk_hook — callers provide
+    EQUIVALENT forcings per path (bench.py does).
     """
     beam = decode_cfg.beam_size
     vocab = tokenizer.get_vocab_size() + 1
@@ -180,9 +190,11 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
     from evoke_tpu.ops.fused_logit_topk import use_fused_logit_topk
 
     # fused Pallas vocab tail on the TPU serving path (same policy split as
-    # the lineage kernel; see use_fused_logit_topk)
+    # the lineage kernel; see use_fused_logit_topk). A topk_hook keeps the
+    # fused tail eligible — it rewrites the kernel's [N, k] candidates
+    # instead of the [N, V] logits a logits_hook needs.
     fused = use_fused_logit_topk(
-        model, serving, logits_hook=logits_hook,
+        model, serving, logits_hook=None if topk_hook is not None else logits_hook,
         decoding_constraint=bool(decode_cfg.decoding_constraint))
     if phases > 1 and max_seq_len >= 2 * phases:
         schedule = tuple(-(-max_seq_len * i // phases) for i in range(1, phases + 1))
@@ -252,8 +264,13 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
 
                 if fused:
                     def step(tok, pos, dstate):
-                        return _split_step(tok, pos, dstate, return_topk=beam,
-                                           topk_suppress=suppress)
+                        out = _split_step(tok, pos, dstate, return_topk=beam,
+                                          topk_suppress=suppress)
+                        if topk_hook is not None:
+                            (vals, idx, lse), st = out
+                            vals, idx = topk_hook(vals, idx, lse, tok, pos, batch)
+                            out = ((vals, idx, lse), st)
+                        return out
 
                     res = beam_search(step, state0, b, beam_size=beam,
                                       length_penalty=decode_cfg.length_penalty,
@@ -286,9 +303,14 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                 # step — the [N, V] logits never touch HBM
                 # (ops/fused_logit_topk.py)
                 def step(tok, pos, dstate):
-                    return model.apply(variables, tok, pos, dstate, att_mask,
-                                       return_topk=beam, topk_suppress=suppress,
-                                       method=model.decode_step)
+                    out = model.apply(variables, tok, pos, dstate, att_mask,
+                                      return_topk=beam, topk_suppress=suppress,
+                                      method=model.decode_step)
+                    if topk_hook is not None:
+                        (vals, idx, lse), st = out
+                        vals, idx = topk_hook(vals, idx, lse, tok, pos, batch)
+                        out = ((vals, idx, lse), st)
+                    return out
 
                 res = beam_search(step, state0, b, beam_size=beam,
                                   length_penalty=decode_cfg.length_penalty,

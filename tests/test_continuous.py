@@ -363,3 +363,76 @@ class TestContinuousServerModel:
                                step_wrapper=step_wrapper)
         recs, _ = srv.serve(_AuxLoader())
         assert {r["id"]: r["report"] for r in recs} == golden
+
+    def test_forced_length_topk_hooks_fused_tail(self, tmp_path, monkeypatch):
+        """The FUSED-tail forcing surface (make_generate_step(topk_hook=...) /
+        ContinuousServer(topk_wrapper=...)): per-study lengths are honored
+        exactly and the two engines decode the identical forced workload to
+        identical records, with the fused vocab tail forced on (interpret on
+        CPU) — the contract the bench A/B's production-kernel mode rests on.
+        (Token-level agreement with the logits_hook forcing is NOT asserted:
+        the logits_hook changes the per-row normalizer, so the two forcing
+        styles rank the forced-EOS candidates differently by construction.)"""
+        from evoke_tpu.core.config import DecodeConfig
+        from evoke_tpu.decode.continuous import ContinuousServer
+        from evoke_tpu.train.steps import make_generate_step
+
+        monkeypatch.setenv("EVOKE_LOGIT_TOPK", "fused")
+        model, tok, state, loader, examples = _tiny_setup(tmp_path, n_test=5)
+        eos = tok.eos_id
+        targets = {ex.id: 3 + (i % 4) for i, ex in enumerate(examples)}
+
+        def force_topk(vals, idx, age_rows, tgt_rows):
+            at_end = (age_rows == tgt_rows - 1)[:, None]
+            big = jnp.asarray(3e4, vals.dtype)
+            vals = jnp.where((idx == eos) & ~at_end, -big, vals)
+            col0 = jnp.arange(idx.shape[1])[None, :] == 0
+            vals = jnp.where(at_end, jnp.where(col0, big, -big), vals)
+            idx = jnp.where(at_end & col0, eos, idx)
+            return vals, idx
+
+        def topk_hook(vals, idx, lse, tok_ids, pos, batch):
+            tgt = jnp.repeat(batch["target_len"],
+                             vals.shape[0] // batch["target_len"].shape[0])
+            return force_topk(vals, idx,
+                              jnp.full(vals.shape[:1], pos, jnp.int32), tgt)
+
+        gen = make_generate_step(model, tok, DecodeConfig(beam_size=2), 16,
+                                 with_indication=False, topk_hook=topk_hook)
+        golden = {}
+        for b in loader:
+            dev = {k: v for k, v in b.items() if not k.startswith("_")}
+            valid = np.asarray(b["valid"])
+            tl = np.asarray([targets.get(iid, 5) for iid in b["_image_ids"]],
+                            np.int32)
+            seqs = np.asarray(gen(state, dict(dev, target_len=jnp.asarray(tl))))
+            for i, iid in enumerate(b["_image_ids"]):
+                if valid[i]:
+                    row = seqs[i]
+                    n = int((row == eos).argmax()) + 1
+                    assert n == targets[iid], (iid, n, targets[iid])
+                    golden[iid] = tok.decode(row.tolist())
+
+        def topk_wrapper(vals, idx, lse, age_rows, aux):
+            return force_topk(vals, idx, age_rows, jnp.repeat(aux, 2))
+
+        class _AuxLoader:
+            def __iter__(self):
+                for b in loader:
+                    yield dict(b, _aux=np.asarray(
+                        [targets.get(iid, 5) for iid in b["_image_ids"]],
+                        np.int32))
+
+        # a step_wrapper is ALSO passed (as bench.py does) — the fused path
+        # must pick topk_wrapper and ignore it, not fall back to unfused
+        def boom(raw_step):  # pragma: no cover - must never be called
+            def step(*a):
+                raise AssertionError("unfused step_wrapper used on fused path")
+            return step
+
+        srv = ContinuousServer(model, tok, state, max_seq_len=16, slots=2,
+                               beam_size=2, seg_steps=3,
+                               step_wrapper=boom, topk_wrapper=topk_wrapper)
+        recs, _ = srv.serve(_AuxLoader())
+        got = {r["id"]: r["report"] for r in recs}
+        assert got == golden
