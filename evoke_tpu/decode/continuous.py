@@ -310,12 +310,12 @@ class ContinuousServer:
             assert slots % dp == 0, f"slots={slots} must divide by dp={dp}"
         # same auto policy as the batch serving path: ancestor-table ring
         # caches + the Pallas lineage kernel on TPU, reorder elsewhere.
-        # Under a mesh, auto resolves to reorder: the Pallas kernels need an
-        # explicit shard_map partitioning under GSPMD (resolve_beam_kv
-        # docstring) — set beam_kv='ancestor' explicitly to override.
+        # A pure-dp mesh KEEPS the kernel path (the lineage kernel rides
+        # shard_map over 'dp' — ops/sharding.py, VERDICT r4 task 3); mp > 1
+        # meshes resolve to reorder.
         self._beam_kv = resolve_beam_kv(
             SimpleNamespace(beam_kv=beam_kv, kv_cache_dtype=""),
-            serving=mesh is None)
+            serving=True, mesh=mesh)
         self.model, self.tokenizer, self.state = model, tokenizer, state
         self.max_len = max_seq_len
         self.slots, self.k, self.seg_steps = slots, beam_size, seg_steps
@@ -326,16 +326,17 @@ class ContinuousServer:
         from evoke_tpu.ops.fused_logit_topk import use_fused_logit_topk
 
         # fused Pallas vocab tail on TPU — same policy as the batch serving
-        # path. A step_wrapper (the bench's load-forcing hook) needs the raw
-        # [N, V] logits, and a mesh needs shard_map for pallas_call, so both
-        # keep the unfused tail — UNLESS a topk_wrapper is also given:
+        # path; a pure-dp mesh keeps it (the kernel rides shard_map over
+        # 'dp'). A step_wrapper (the bench's load-forcing hook) needs the
+        # raw [N, V] logits, so it keeps the unfused tail — UNLESS a
+        # topk_wrapper is also given:
         # ``topk_wrapper(vals, idx, lse, age_rows, aux) -> (vals, idx)``
         # rewrites the fused kernel's [N, k] candidates instead, so forced
         # workloads measure the production (fused) tail. When the fused path
         # is taken, step_wrapper is ignored (callers provide EQUIVALENT
         # forcings per path — bench.py does; same contract as
         # make_generate_step's logits_hook/topk_hook pair).
-        fused = (mesh is None and use_fused_logit_topk(model, serving=True)
+        fused = (use_fused_logit_topk(model, serving=True, mesh=mesh)
                  and (step_wrapper is None or topk_wrapper is not None))
 
         def raw_step(tok, p, age_rows, dec, att_mask, aux, tstate):
@@ -394,6 +395,8 @@ class ContinuousServer:
         self._fuse = jax.jit(lambda perm, *ps: jax.tree.map(
             lambda *xs: jnp.concatenate(xs, 0)[perm], *ps))
 
+        from evoke_tpu.ops.sharding import use_kernel_mesh
+
         def seg_with_state(carry, tstate, pack, avail, reset_pos, memory0):
             cell[0] = tstate
 
@@ -401,7 +404,10 @@ class ContinuousServer:
                 c, out = seg(c, pack, avail, reset_pos & (i == 0), memory0)
                 return c, (out.host_meta, out.best_seq)
 
-            return jax.lax.scan(body, carry, jnp.arange(r, dtype=jnp.int32))
+            # trace-time mesh context: the Pallas kernel dispatchers inside
+            # the decode step read it while this jit traces (ops/sharding.py)
+            with use_kernel_mesh(mesh):
+                return jax.lax.scan(body, carry, jnp.arange(r, dtype=jnp.int32))
 
         self._segment = jax.jit(seg_with_state, donate_argnums=(0,))
 

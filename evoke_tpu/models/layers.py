@@ -240,7 +240,7 @@ def cached_self_attention(attn, h, cache_k, cache_v, pos, anc=None,
         delta = jnp.mod(pos - jnp.arange(lmax), lmax)          # [L]
         mask = (delta[None, :] <= age[:, None])[:, None, None, :]
         return attn.attend(h, cache_k, cache_v, mask=mask)
-    if anc is not None and scale_k is None and use_pallas_lineage(cache_k):
+    if anc is not None and scale_k is None and use_pallas_lineage(cache_k, anc):
         return attn.attend_lineage(h, cache_k, cache_v, anc, pos, age=age)
     cache_k = _dequantize(cache_k, scale_k, h.dtype)
     cache_v = _dequantize(cache_v, scale_v, h.dtype)

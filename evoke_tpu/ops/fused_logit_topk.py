@@ -144,38 +144,17 @@ def _ensure_pallas():
     return pl
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "suppress_ids", "tile", "interpret"))
-def fused_logit_topk(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, k: int,
-                     suppress_ids: Tuple[int, ...] = (), tile: int = 2048,
-                     interpret: bool = False):
-    """h: [N, D] (compute dtype), w: [D, V], b: [V] (same dtype as h).
+def _pallas_topk(h, w, b2, *, k: int, tile: int, interpret: bool):
+    """The raw pallas_call on LOCAL shapes (grid/blocks derived from ``h``).
 
-    Returns (vals [N, k] f32, idx [N, k] i32, lse [N] f32): the per-row top-k
-    of ``h @ w + b`` AFTER adding -1000 (in compute dtype) at ``suppress_ids``,
-    with values reported f32-exactly, plus the pre-suppression logsumexp.
-    Equivalent XLA recipe (decode/beam.py raw_logits stage 1):
-
-        logits = h @ w + b
-        lse = logsumexp(logits.astype(f32))
-        for sid in suppress_ids: logits = logits.at[:, sid].add(-1000.0)
-        vals, idx = lax.top_k(logits, k); vals = vals.astype(f32)
-    """
+    Factored out of the dispatcher so ``jax.shard_map`` can run it per-device
+    on each shard's rows under a dp mesh (ops/sharding.py)."""
     _ensure_pallas()
     from jax.experimental.pallas import tpu as pltpu
 
     n, d = h.shape
-    dd, v = w.shape
-    assert dd == d and b.shape == (v,), (h.shape, w.shape, b.shape)
-    assert v >= k, f"vocab {v} < k {k}"
-    tile = min(tile, -(-v // 128) * 128)
+    v = w.shape[1]
     nt = -(-v // tile)
-    # two bias rows: [0] = true bias, [1] = {0,1} suppression indicator (the
-    # kernel adds exactly -1000 in the compute dtype at indicated columns)
-    ind = jnp.zeros_like(b)
-    for sid in suppress_ids:
-        ind = ind.at[sid].set(jnp.asarray(1.0, b.dtype))
-    b2 = jnp.stack([b, ind])                                     # [2, V]
 
     vals, idx, lse = pl.pallas_call(
         functools.partial(_kernel, k=k, vocab=v, tile=tile),
@@ -206,6 +185,73 @@ def fused_logit_topk(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, k: int,
     return vals, idx, lse[:, 0]
 
 
+def fused_logit_topk(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, k: int,
+                     suppress_ids: Tuple[int, ...] = (), tile: int = 2048,
+                     interpret: bool = False):
+    """h: [N, D] (compute dtype), w: [D, V], b: [V] (same dtype as h).
+
+    Returns (vals [N, k] f32, idx [N, k] i32, lse [N] f32): the per-row top-k
+    of ``h @ w + b`` AFTER adding -1000 (in compute dtype) at ``suppress_ids``,
+    with values reported f32-exactly, plus the pre-suppression logsumexp.
+    Equivalent XLA recipe (decode/beam.py raw_logits stage 1):
+
+        logits = h @ w + b
+        lse = logsumexp(logits.astype(f32))
+        for sid in suppress_ids: logits = logits.at[:, sid].add(-1000.0)
+        vals, idx = lax.top_k(logits, k); vals = vals.astype(f32)
+
+    Mesh dispatch (VERDICT r4 task 3): under an active kernel mesh
+    (ops/sharding.use_kernel_mesh, set at trace time by make_generate_step /
+    ContinuousServer) the kernel is row-parallel — it runs inside
+    ``jax.shard_map`` over 'dp' with w/b replicated, so mesh serving keeps
+    the fused tail instead of falling back to the three-op XLA chain. NOT
+    ``jax.jit``-decorated on purpose: a nested jit caches by abstract
+    signature only and would reuse a trace made under a different mesh
+    context. Rows not divisible by dp fall back to the exact XLA recipe
+    above (GSPMD partitions it normally).
+    """
+    from evoke_tpu.ops.sharding import dp_size, kernel_mesh, mesh_allows_kernels
+
+    n, d = h.shape
+    dd, v = w.shape
+    assert dd == d and b.shape == (v,), (h.shape, w.shape, b.shape)
+    assert v >= k, f"vocab {v} < k {k}"
+    tile = min(tile, -(-v // 128) * 128)
+    # two bias rows: [0] = true bias, [1] = {0,1} suppression indicator (the
+    # kernel adds exactly -1000 in the compute dtype at indicated columns)
+    ind = jnp.zeros_like(b)
+    for sid in suppress_ids:
+        ind = ind.at[sid].set(jnp.asarray(1.0, b.dtype))
+    b2 = jnp.stack([b, ind])                                     # [2, V]
+
+    kern = functools.partial(_pallas_topk, k=k, tile=tile, interpret=interpret)
+    mesh = kernel_mesh()
+    if mesh is None:
+        return kern(h, w, b2)
+    dp = dp_size(mesh)
+    if mesh_allows_kernels(mesh) and n % dp == 0:
+        from jax.sharding import PartitionSpec as P
+
+        # full-manual over the mesh (mesh_allows_kernels already pins mp == 1,
+        # so manual-'mp' is trivial replication; check_vma=False because
+        # pallas_call does not propagate varying-manual-axes metadata)
+        return jax.shard_map(kern, mesh=mesh,
+                             in_specs=(P("dp"), P(), P()),
+                             out_specs=(P("dp"), P("dp"), P("dp")),
+                             check_vma=False)(h, w, b2)
+    # exact XLA fallback (the docstring recipe, nn.Dense(dtype) numerics):
+    # reached only when a mesh is active but its shape cannot carry the
+    # kernel (mp > 1, or rows not divisible by dp)
+    acc = jax.lax.dot_general(h, w, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    logits = acc.astype(h.dtype) + b[None, :]
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    for sid in suppress_ids:
+        logits = logits.at[:, sid].add(jnp.asarray(-1000.0, logits.dtype))
+    vals, idx = jax.lax.top_k(logits, k)
+    return vals.astype(jnp.float32), idx, lse
+
+
 def fused_topk_mode() -> str:
     """EVOKE_LOGIT_TOPK = auto (default) | fused | xla.
 
@@ -219,7 +265,7 @@ def fused_topk_mode() -> str:
 
 
 def use_fused_logit_topk(model, serving: bool, *, logits_hook=None,
-                         decoding_constraint: bool = False) -> bool:
+                         decoding_constraint: bool = False, mesh=None) -> bool:
     """Dispatch policy for the serving beam step's vocab tail.
 
     Fused only when nothing needs the full [N, V] logits on the XLA side:
@@ -229,7 +275,12 @@ def use_fused_logit_topk(model, serving: bool, *, logits_hook=None,
     Eval paths (serving=False) stay unfused for bit-comparable outputs across
     backends — the same policy split as the lineage kernel (resolve_beam_kv).
     D must fill whole 128-lane tiles for Mosaic (same constraint as
-    use_pallas_lineage)."""
+    use_pallas_lineage).
+
+    ``mesh``: a pure-dp mesh keeps the fused tail (the kernel rides
+    ``shard_map`` over 'dp' — fused_logit_topk's mesh dispatch); mp > 1
+    meshes stay unfused (the [D, V] weight is mp-sharded under TP and the
+    kernel would force a per-step all-gather)."""
     mode = fused_topk_mode()
     if mode == "xla":
         return False
@@ -239,8 +290,11 @@ def use_fused_logit_topk(model, serving: bool, *, logits_hook=None,
         return False
     if mode == "fused":
         return True
+    from evoke_tpu.ops.sharding import mesh_allows_kernels
+
     d = int(getattr(model, "d_model", 0))
-    return serving and jax.default_backend() == "tpu" and d % 128 == 0
+    return (serving and jax.default_backend() == "tpu" and d % 128 == 0
+            and mesh_allows_kernels(mesh))
 
 
 def fused_topk_interpret() -> bool:

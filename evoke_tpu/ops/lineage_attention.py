@@ -210,39 +210,19 @@ def _kernel_for(g: int, kbeam: int):
     return _kernel_fused_heads if (kbeam == 3 and g in (4, 8)) else _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
-def lineage_attention(q, cache_k, cache_v, anc, pos, num_heads: int,
-                      interpret: bool = False, age=None):
-    """Beam-lineage cached self-attention (post-projection, pre-output-proj).
+def _lineage_call(pos_arr, age_arr, q4, k4, v4, anc, *, num_heads: int,
+                  interpret: bool):
+    """The raw pallas_call on LOCAL shapes (grid/blocks derived from ``q4``).
 
-    q:        [N, D]   this step's projected queries (N = B*kbeam, sample-major)
-    cache_k:  [N, L, D] un-permuted K cache (slot ``pos`` already written)
-    cache_v:  [N, L, D] un-permuted V cache
-    anc:      [B, kbeam, L] int32 — anc[s, b, t] = physical beam row (within
-              sample s) holding beam b's ancestor K/V at slot t
-    pos:      scalar int32 current step (physical ring slot in age mode)
-    age:      optional [B] int32 — ring-cache mode (continuous serving):
-              per-sample history length; slot t' is valid history iff
-              0 < (pos - t') mod L <= age. None = batch beam mode (the
-              kernel then runs the identical ring math with age = pos).
-    Returns the attention context [N, D] in q.dtype (apply wo outside).
-    """
+    Factored out of the dispatcher so ``jax.shard_map`` can run it per-device
+    on each shard's samples under a dp mesh (ops/sharding.py)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n, d = q.shape
-    b, kbeam, lmax = anc.shape
-    assert n == b * kbeam and cache_k.shape == (n, lmax, d), \
-        f"shape mismatch: q {q.shape}, cache {cache_k.shape}, anc {anc.shape}"
-    g = _samples_per_block(b, kbeam, lmax, d, cache_k.dtype.itemsize)
-    pos_arr = jnp.full((1, 1), pos, jnp.int32)
-    age_arr = (jnp.full((b, 1), pos, jnp.int32) if age is None
-               else age.astype(jnp.int32).reshape(b, 1))
-    # explicit sample axis: TPU block shapes must equal the array's trailing
-    # dims, and kbeam (3) is not a legal sublane count on its own
-    q4 = q.reshape(b, kbeam, d)
-    k4 = cache_k.reshape(b, kbeam, lmax, d)
-    v4 = cache_v.reshape(b, kbeam, lmax, d)
+    b, kbeam, d = q4.shape
+    lmax = k4.shape[2]
+    n = b * kbeam
+    g = _samples_per_block(b, kbeam, lmax, d, k4.dtype.itemsize)
 
     grid_spec = pl.GridSpec(
         grid=(b // g,),
@@ -262,10 +242,10 @@ def lineage_attention(q, cache_k, cache_v, anc, pos, num_heads: int,
         out_specs=pl.BlockSpec((g, kbeam, d), lambda s: (s, 0, 0),
                                memory_space=pltpu.VMEM),
     )
-    bytes_kv = 2 * kbeam * lmax * d * cache_k.dtype.itemsize
+    bytes_kv = 2 * kbeam * lmax * d * k4.dtype.itemsize
     out = pl.pallas_call(
         functools.partial(_kernel_for(g, kbeam), num_heads=num_heads),
-        out_shape=jax.ShapeDtypeStruct((b, kbeam, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, kbeam, d), q4.dtype),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * n * (g * kbeam) * lmax * d,
@@ -273,6 +253,67 @@ def lineage_attention(q, cache_k, cache_v, anc, pos, num_heads: int,
             transcendentals=n * g * kbeam * lmax),
         interpret=interpret,
     )(pos_arr, age_arr, q4, k4, v4, anc)
+    return out
+
+
+def lineage_attention(q, cache_k, cache_v, anc, pos, num_heads: int,
+                      interpret: bool = False, age=None):
+    """Beam-lineage cached self-attention (post-projection, pre-output-proj).
+
+    q:        [N, D]   this step's projected queries (N = B*kbeam, sample-major)
+    cache_k:  [N, L, D] un-permuted K cache (slot ``pos`` already written)
+    cache_v:  [N, L, D] un-permuted V cache
+    anc:      [B, kbeam, L] int32 — anc[s, b, t] = physical beam row (within
+              sample s) holding beam b's ancestor K/V at slot t
+    pos:      scalar int32 current step (physical ring slot in age mode)
+    age:      optional [B] int32 — ring-cache mode (continuous serving):
+              per-sample history length; slot t' is valid history iff
+              0 < (pos - t') mod L <= age. None = batch beam mode (the
+              kernel then runs the identical ring math with age = pos).
+    Returns the attention context [N, D] in q.dtype (apply wo outside).
+
+    Mesh dispatch (VERDICT r4 task 3): under an active kernel mesh
+    (ops/sharding.use_kernel_mesh) the kernel is sample-parallel — it runs
+    inside ``jax.shard_map`` over 'dp' (each device DMAs only its own
+    samples' cache blocks), so mesh serving keeps the one-HBM-pass lineage
+    read instead of falling back to reorder caches. NOT ``jax.jit``-decorated
+    on purpose: a nested jit caches by abstract signature only and would
+    reuse a trace made under a different mesh context (use_pallas_lineage
+    gates dispatch, so a mesh that cannot carry the kernel never reaches
+    here on the auto path).
+    """
+    n, d = q.shape
+    b, kbeam, lmax = anc.shape
+    assert n == b * kbeam and cache_k.shape == (n, lmax, d), \
+        f"shape mismatch: q {q.shape}, cache {cache_k.shape}, anc {anc.shape}"
+    pos_arr = jnp.full((1, 1), pos, jnp.int32)
+    age_arr = (jnp.full((b, 1), pos, jnp.int32) if age is None
+               else age.astype(jnp.int32).reshape(b, 1))
+    # explicit sample axis: TPU block shapes must equal the array's trailing
+    # dims, and kbeam (3) is not a legal sublane count on its own
+    q4 = q.reshape(b, kbeam, d)
+    k4 = cache_k.reshape(b, kbeam, lmax, d)
+    v4 = cache_v.reshape(b, kbeam, lmax, d)
+
+    kern = functools.partial(_lineage_call, num_heads=num_heads,
+                             interpret=interpret)
+    from evoke_tpu.ops.sharding import dp_size, kernel_mesh, mesh_allows_kernels
+
+    mesh = kernel_mesh()
+    if mesh is not None and mesh_allows_kernels(mesh) \
+            and b % dp_size(mesh) == 0:
+        from jax.sharding import PartitionSpec as P
+
+        # full-manual over the mesh (mesh_allows_kernels already pins mp == 1,
+        # so manual-'mp' is trivial replication; check_vma=False because
+        # pallas_call does not propagate varying-manual-axes metadata)
+        out = jax.shard_map(kern, mesh=mesh,
+                            in_specs=(P(), P("dp"), P("dp"), P("dp"),
+                                      P("dp"), P("dp")),
+                            out_specs=P("dp"),
+                            check_vma=False)(pos_arr, age_arr, q4, k4, v4, anc)
+    else:
+        out = kern(pos_arr, age_arr, q4, k4, v4, anc)
     return out.reshape(n, d)
 
 
@@ -309,7 +350,7 @@ def lineage_kernel_mode() -> str:
     return mode
 
 
-def use_pallas_lineage(cache_k) -> bool:
+def use_pallas_lineage(cache_k, anc=None) -> bool:
     """Dispatch policy for layers.cached_self_attention's ancestor branch.
 
     int8-quantized caches stay on the XLA path (the kernel would need the
@@ -323,13 +364,27 @@ def use_pallas_lineage(cache_k) -> bool:
     formulation is exact (tests/test_lineage_kernel.py asserts equality), so
     small-dim models lose nothing but the kernel's bandwidth advantage.
     EVOKE_LINEAGE_KERNEL=pallas still forces the kernel at any width (the
-    exactness tests run it in interpret mode, where Mosaic is not involved)."""
+    exactness tests run it in interpret mode, where Mosaic is not involved).
+
+    Under an active kernel mesh (ops/sharding.py) the auto policy also
+    requires a pure-dp mesh and a sample batch divisible by dp — otherwise
+    the XLA ancestor formulation (which GSPMD partitions normally) keeps the
+    mesh program correct. ``anc`` [B, kbeam, L], when given, supplies the
+    sample batch for that check."""
     mode = lineage_kernel_mode()
     if mode == "xla" or cache_k.dtype == jnp.int8:
         return False
     if mode == "pallas":
         return True
-    return jax.default_backend() == "tpu" and cache_k.shape[-1] % 128 == 0
+    if not (jax.default_backend() == "tpu" and cache_k.shape[-1] % 128 == 0):
+        return False
+    from evoke_tpu.ops.sharding import dp_size, kernel_mesh, mesh_allows_kernels
+
+    mesh = kernel_mesh()
+    if mesh is None:
+        return True
+    return mesh_allows_kernels(mesh) and (
+        anc is None or anc.shape[0] % dp_size(mesh) == 0)
 
 
 def lineage_interpret() -> bool:

@@ -69,11 +69,15 @@ class ReportServer:
         # grouped fusion attention truncates partners beyond its static bound;
         # serve() checks every batch host-side and fails loudly instead
         self._max_partners = getattr(model, "fusion_max_partners", None)
+        # mesh rides into the generate steps so the Pallas serving kernels
+        # stay engaged under a pure-dp mesh (ops/sharding.py)
         self._gen = {
             True: make_generate_step(model, tokenizer, decode_cfg, max_seq_len,
-                                     with_indication=True, serving=True),
+                                     with_indication=True, serving=True,
+                                     mesh=mesh),
             False: make_generate_step(model, tokenizer, decode_cfg, max_seq_len,
-                                      with_indication=False, serving=True),
+                                      with_indication=False, serving=True,
+                                      mesh=mesh),
         }
         self.stats: Dict[str, float] = {}
 

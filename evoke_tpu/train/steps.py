@@ -103,7 +103,7 @@ def make_eval_step(model, loss_key: str = "all_loss", with_indication: bool = Fa
     return eval_step
 
 
-def resolve_beam_kv(decode_cfg, serving: bool) -> str:
+def resolve_beam_kv(decode_cfg, serving: bool, mesh=None) -> str:
     """Resolve DecodeConfig.beam_kv 'auto' to a concrete cache strategy.
 
     Serving on TPU: ancestor-table caches + the Pallas lineage kernel
@@ -114,26 +114,38 @@ def resolve_beam_kv(decode_cfg, serving: bool) -> str:
     round differently under the kernel's f32 score accumulation), and the
     int8 cache path keeps reorder (the kernel reads bf16/f32 caches).
 
-    Mesh-sharded generation (parallel/ tests, dryrun_multichip) constructs
-    its step with serving=False and so keeps reorder: a pallas_call under
-    GSPMD needs an explicit shard_map partitioning, which the single-chip
-    serving surface (serve.py, bench.py) does not have or need. Multi-chip
-    serving deployments should set beam_kv explicitly per their sharding."""
+    ``mesh``: serving under a PURE-dp mesh keeps ancestor — the lineage
+    kernel is sample-parallel and rides ``shard_map`` over 'dp'
+    (ops/sharding.py, VERDICT r4 task 3), so multi-chip serving runs the
+    same fused program the single-chip bench headlines. mp > 1 meshes
+    resolve to reorder (the ancestor XLA fallback measured −43% end-to-end;
+    reorder is the faster meshable formulation). Explicit beam_kv always
+    wins."""
     beam_kv = str(getattr(decode_cfg, "beam_kv", "auto"))
     if beam_kv not in ("auto", "reorder", "ancestor"):
         raise ValueError(f"beam_kv must be auto|reorder|ancestor, got {beam_kv!r}")
     if beam_kv != "auto":
         return beam_kv
+    from evoke_tpu.ops.sharding import mesh_allows_kernels
+
     kv_dtype = str(getattr(decode_cfg, "kv_cache_dtype", "") or "")
     return ("ancestor" if serving and kv_dtype != "int8"
-            and jax.default_backend() == "tpu" else "reorder")
+            and jax.default_backend() == "tpu"
+            and mesh_allows_kernels(mesh) else "reorder")
 
 
 def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
                        with_indication: bool = False, serving: bool = False,
                        logits_hook=None, topk_hook=None,
-                       all_samples: bool = False):
+                       all_samples: bool = False, mesh=None):
     """Returns a jitted (state, batch) -> seq [B, L] generation step.
+
+    ``mesh``: serving under a mesh. A pure-dp mesh keeps BOTH Pallas serving
+    kernels — the lineage attention and the fused vocab tail run inside
+    ``shard_map`` over 'dp' (ops/sharding.py), so the dp-sharded program is
+    the same fused one the single-chip path runs; mp > 1 meshes fall back to
+    reorder + the unfused tail. The caller shards the batch (core.mesh
+    .shard_batch); params replicate or carry their own TP shardings.
 
     Dispatches to beam search (beam_size > 1) or greedy/sampling, mirroring
     att_model._sample's dispatch (att_model.py:151-155). ``serving=True``
@@ -176,7 +188,7 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
         # neutral-to-slightly-better than 4 in the interleaved sweep.
         phases = 8 if serving else 1
     kv_dtype = str(getattr(decode_cfg, "kv_cache_dtype", "") or "")
-    ancestor_kv = resolve_beam_kv(decode_cfg, serving) == "ancestor"
+    ancestor_kv = resolve_beam_kv(decode_cfg, serving, mesh=mesh) == "ancestor"
     init_extra = (kv_dtype,) if kv_dtype else ()
     sample_n = max(int(getattr(decode_cfg, "sample_n", 1)), 1)
     if beam > 1 and decode_cfg.sample_method in ("greedy", "beam_search") \
@@ -195,14 +207,13 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
     # instead of the [N, V] logits a logits_hook needs.
     fused = use_fused_logit_topk(
         model, serving, logits_hook=None if topk_hook is not None else logits_hook,
-        decoding_constraint=bool(decode_cfg.decoding_constraint))
+        decoding_constraint=bool(decode_cfg.decoding_constraint), mesh=mesh)
     if phases > 1 and max_seq_len >= 2 * phases:
         schedule = tuple(-(-max_seq_len * i // phases) for i in range(1, phases + 1))
     else:
         schedule = (max_seq_len,)
 
-    @jax.jit
-    def generate_step(state: TrainState, batch):
+    def _generate_body(state: TrainState, batch):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         batch = maybe_normalize_images(batch)
         b = batch["ids"].shape[0]  # n_anchor: one report per study anchor
@@ -400,5 +411,15 @@ def make_generate_step(model, tokenizer, decode_cfg, max_seq_len: int,
             seq = seq.reshape(b, sample_n, max_seq_len)
             return seq if all_samples else seq[:, 0, :]
         return seq
+
+    from evoke_tpu.ops.sharding import use_kernel_mesh
+
+    @jax.jit
+    def generate_step(state: TrainState, batch):
+        # trace-time mesh context: the Pallas kernel dispatchers deep inside
+        # the flax modules read it WHILE this function traces, and wrap their
+        # pallas_calls in shard_map over 'dp' (ops/sharding.py)
+        with use_kernel_mesh(mesh):
+            return _generate_body(state, batch)
 
     return generate_step

@@ -75,15 +75,15 @@ class TestLineageKernel:
         ck = jnp.asarray(rng.normal(size=(n, lmax, d)), jnp.float32)
         cv = jnp.asarray(rng.normal(size=(n, lmax, d)), jnp.float32)
         anc = jnp.asarray(rng.integers(0, kbeam, size=(b, kbeam, lmax)), jnp.int32)
+        # lineage_attention is an un-jitted dispatcher (ops/sharding.py): each
+        # eager call re-executes Python and re-reads EVOKE_LINEAGE_HEADS, so
+        # no jit cache needs clearing between variants
         monkeypatch.setenv("EVOKE_LINEAGE_HEADS", "loop")
-        lineage_attention.clear_cache()
         out_loop = np.asarray(lineage_attention(q, ck, cv, anc, pos, heads,
                                                 interpret=True))
         monkeypatch.setenv("EVOKE_LINEAGE_HEADS", "fused")
-        lineage_attention.clear_cache()
         out_fused = np.asarray(lineage_attention(q, ck, cv, anc, pos, heads,
                                                  interpret=True))
-        lineage_attention.clear_cache()
         np.testing.assert_allclose(out_loop, out_fused, rtol=1e-5, atol=1e-6)
 
     def test_lineage_isolation(self, rng):

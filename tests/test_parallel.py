@@ -199,6 +199,159 @@ class TestShardedContinuousEngine:
         assert len(leaf.sharding.device_set) == 2, leaf.sharding
 
 
+class TestMeshKernels:
+    """Pallas kernels under the mesh via shard_map (VERDICT r4 task 3): the
+    dp-sharded serving program must be the SAME fused program the single-chip
+    path runs — not the reorder+unfused fallback it used to silently take."""
+
+    def test_fused_topk_shard_map_matches_local(self, devices, rng):
+        from evoke_tpu.ops.fused_logit_topk import fused_logit_topk
+        from evoke_tpu.ops.sharding import use_kernel_mesh
+
+        h = jnp.asarray(rng.normal(size=(8, 128)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(128, 520)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(520,)), jnp.float32)
+        want = fused_logit_topk(h, w, b, k=3, suppress_ids=(4,), tile=256,
+                                interpret=True)
+        mesh = create_mesh(MeshSpec(dp=8))
+        with use_kernel_mesh(mesh):
+            got = fused_logit_topk(h, w, b, k=3, suppress_ids=(4,), tile=256,
+                                   interpret=True)
+        # same winners per row; values to matmul-blocking tolerance (the CPU
+        # dot kernel's accumulation order differs between M=8 and the
+        # per-shard M=1, ~1e-6 relative — on TPU both shapes hit the MXU's
+        # fixed f32 accumulation)
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want[2]),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_fused_topk_mesh_fallback_is_exact(self, devices, rng):
+        """Rows not divisible by dp (or mp > 1) fall back to the inline XLA
+        recipe — still exact vs the kernel."""
+        from evoke_tpu.ops.fused_logit_topk import fused_logit_topk
+        from evoke_tpu.ops.sharding import use_kernel_mesh
+
+        h = jnp.asarray(rng.normal(size=(6, 128)), jnp.float32)  # 6 % 8 != 0
+        w = jnp.asarray(rng.normal(size=(128, 300)), jnp.float32)
+        bb = jnp.asarray(rng.normal(size=(300,)), jnp.float32)
+        want = fused_logit_topk(h, w, bb, k=2, suppress_ids=(1,), tile=128,
+                                interpret=True)
+        mesh = create_mesh(MeshSpec(dp=8))
+        with use_kernel_mesh(mesh):
+            got = fused_logit_topk(h, w, bb, k=2, suppress_ids=(1,), tile=128,
+                                   interpret=True)
+        for a, e in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       rtol=1e-6, atol=1e-6)
+
+    def test_lineage_shard_map_matches_local(self, devices, rng):
+        from evoke_tpu.ops.lineage_attention import lineage_attention
+        from evoke_tpu.ops.sharding import use_kernel_mesh
+
+        b, kbeam, lmax, d, heads = 8, 3, 12, 32, 4
+        n = b * kbeam
+        q = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        ck = jnp.asarray(rng.normal(size=(n, lmax, d)), jnp.float32)
+        cv = jnp.asarray(rng.normal(size=(n, lmax, d)), jnp.float32)
+        anc = jnp.asarray(rng.integers(0, kbeam, size=(b, kbeam, lmax)), jnp.int32)
+        want = lineage_attention(q, ck, cv, anc, 5, heads, interpret=True)
+        mesh = create_mesh(MeshSpec(dp=8))
+        with use_kernel_mesh(mesh):
+            got = lineage_attention(q, ck, cv, anc, 5, heads, interpret=True)
+        # ~1e-7 tolerance: the per-shard local batch (b=1) selects a smaller
+        # samples-per-block grouping than the unsharded b=8, so the f32
+        # partial-sum order differs (same cross-blocking variance as
+        # test_lineage_kernel.py::test_fused_heads_body_is_exact)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_policies_respect_mesh_shape(self, devices):
+        """auto policies keep kernels on pure-dp meshes and decline mp > 1."""
+        from types import SimpleNamespace
+
+        from evoke_tpu.ops.sharding import use_kernel_mesh
+        from evoke_tpu.train.steps import resolve_beam_kv
+
+        cfg = SimpleNamespace(beam_kv="auto", kv_cache_dtype="")
+        dp_mesh = create_mesh(MeshSpec(dp=8))
+        mp_mesh = create_mesh(MeshSpec(dp=4, mp=2))
+        # CPU backend resolves reorder regardless; the mp distinction is in
+        # the mesh_allows_kernels gate the TPU path takes
+        from evoke_tpu.ops.sharding import mesh_allows_kernels
+
+        assert mesh_allows_kernels(None) and mesh_allows_kernels(dp_mesh)
+        assert not mesh_allows_kernels(mp_mesh)
+        assert resolve_beam_kv(cfg, serving=True, mesh=mp_mesh) == "reorder"
+        # explicit beam_kv always wins
+        cfg2 = SimpleNamespace(beam_kv="ancestor", kv_cache_dtype="")
+        assert resolve_beam_kv(cfg2, serving=False, mesh=mp_mesh) == "ancestor"
+        # use_pallas_lineage declines an mp mesh and a non-divisible batch on
+        # the auto path even when the backend/width checks would pass
+        from evoke_tpu.ops import lineage_attention as la
+
+        ck = jnp.zeros((6, 4, 128), jnp.float32)
+        anc6 = jnp.zeros((6 // 2, 2, 4), jnp.int32)   # b=3, not divisible by 8
+        if jax.default_backend() == "tpu":  # pragma: no cover - CPU suite
+            with use_kernel_mesh(mp_mesh):
+                assert not la.use_pallas_lineage(ck, anc6)
+
+    def test_dp_engine_kernel_path_matches_fused_goldens(self, devices,
+                                                         tmp_path, monkeypatch):
+        """The continuous engine under a dp mesh WITH both Pallas kernels
+        forced (interpret mode on CPU) serves token-identical reports to the
+        single-device kernel engine — the mesh program now exercises the
+        ancestor lineage kernel + fused vocab tail through shard_map instead
+        of dropping to reorder+unfused (VERDICT r4 weak #3)."""
+        from evoke_tpu.decode.continuous import ContinuousServer
+        from tests.test_continuous import _tiny_setup
+
+        monkeypatch.setenv("EVOKE_LINEAGE_KERNEL", "pallas")
+        monkeypatch.setenv("EVOKE_LOGIT_TOPK", "fused")
+        model, tok, state, loader, examples = _tiny_setup(tmp_path)
+        single = ContinuousServer(model, tok, state, max_seq_len=16, slots=2,
+                                  beam_size=2, seg_steps=4, beam_kv="ancestor")
+        recs, _ = single.serve(loader)
+        golden = {r["id"]: r["report"] for r in recs}
+        assert len(golden) == len(examples)
+
+        mesh = create_mesh(MeshSpec(dp=2))
+        srv = ContinuousServer(model, tok, state, max_seq_len=16, slots=2,
+                               beam_size=2, seg_steps=4, beam_kv="ancestor",
+                               mesh=mesh)
+        assert srv._beam_kv == "ancestor"
+        mrecs, stats = srv.serve(loader)
+        assert {r["id"]: r["report"] for r in mrecs} == golden
+        assert stats["reports"] == len(golden)
+        leaf = srv._carry["dec"]["cache_k"][0]
+        assert len(leaf.sharding.device_set) == 2, leaf.sharding
+
+    def test_dp_generate_kernel_path_matches_single(self, devices, tmp_path,
+                                                    monkeypatch):
+        """Batch serving path: make_generate_step(mesh=dp) with both kernels
+        forced == the single-device kernel program, token for token."""
+        from evoke_tpu.core.config import DecodeConfig
+        from evoke_tpu.train.steps import make_generate_step
+        from tests.test_continuous import _tiny_setup
+
+        monkeypatch.setenv("EVOKE_LINEAGE_KERNEL", "pallas")
+        monkeypatch.setenv("EVOKE_LOGIT_TOPK", "fused")
+        model, tok, state, loader, examples = _tiny_setup(tmp_path)
+        cfg = DecodeConfig(beam_size=2, beam_kv="ancestor")
+        gen = make_generate_step(model, tok, cfg, 16, with_indication=False)
+        b0 = next(iter(loader))
+        dev = {k: v for k, v in b0.items() if not k.startswith("_")}
+        want = np.asarray(gen(state, dev))
+
+        mesh = create_mesh(MeshSpec(dp=2))
+        gen_m = make_generate_step(model, tok, cfg, 16, with_indication=False,
+                                   mesh=mesh)
+        got = np.asarray(gen_m(state, shard_batch(dev, mesh,
+                                                  allow_replicate=True)))
+        np.testing.assert_array_equal(want, got)
+
+
 class TestWideFusionTPSpecs:
     def test_real_dims_wide_fusion_params_get_tp_specs(self):
         """tp_spec_for_path against the REAL flagship parameter tree (134M
