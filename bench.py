@@ -1095,15 +1095,19 @@ def main():
         return emitted
 
     # --- stage 0: ping. Two tries; a tunnel that cannot answer a [256,256]
-    # matmul in 75 s twice is dead — emit an explicit degradation headline
+    # matmul in 120 s twice is dead — emit an explicit degradation headline
     # and exit 0 (the artifact then records the tunnel state instead of
-    # nothing, VERDICT r4 weak #1).
+    # nothing, VERDICT r4 weak #1). 120 s, not less: a HEALTHY ping measured
+    # 12-64 s across session windows (imports + backend init through the
+    # tunnel vary that much), and a false dead-tunnel verdict costs the whole
+    # round; a real dead tunnel hangs forever, so the extra slack only costs
+    # 2x45 s in the genuinely-dead case.
     ping_ok = False
     for attempt in (1, 2):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--only", "ping"],
-                capture_output=True, text=True, timeout=min(75.0, remaining() + grace))
+                capture_output=True, text=True, timeout=min(120.0, remaining() + grace))
             for ln in proc.stderr.splitlines():
                 if ln.startswith("#"):
                     print(ln, file=sys.stderr)

@@ -70,9 +70,18 @@ def shard_batch(batch: Any, mesh: Mesh, allow_replicate: bool = False) -> Any:
     repl = replicate(mesh)
 
     def put(x):
-        x = np.asarray(x)
+        # Device-resident arrays stay device-resident: np.asarray on a
+        # jax.Array pulls it to HOST and the re-upload round-trips every
+        # byte through the runtime — through the remote TPU tunnel this
+        # measured a 33x engine slowdown (bench r5: 556 -> 17 r/s) when
+        # serving re-sharded already-on-device batches each pass. An
+        # equivalent sharding (e.g. single-device array under a dp=1 mesh)
+        # is returned untouched; otherwise device_put reshards device-side.
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)
         if x.ndim == 0:
             return jax.device_put(x, repl)
+        target = sharded
         if x.shape[0] % dp != 0:
             if not allow_replicate:
                 raise ValueError(
@@ -80,8 +89,10 @@ def shard_batch(batch: Any, mesh: Mesh, allow_replicate: bool = False) -> Any:
                     f"{x.shape} is not divisible by dp={dp}; pad the batch to a "
                     f"multiple of dp, or pass allow_replicate=True to replicate "
                     f"such leaves explicitly")
-            return jax.device_put(x, repl)
-        return jax.device_put(x, sharded)
+            target = repl
+        if isinstance(x, jax.Array) and x.sharding.is_equivalent_to(target, x.ndim):
+            return x
+        return jax.device_put(x, target)
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -501,6 +501,12 @@ class ContinuousServer:
         n_done = 0
         n_total = 0
         steps = 0
+        # phase accounting (stats['encode_s'/'dispatch_s'/'wait_s']): where
+        # the serve loop's wall time goes — encode+device_put of packs,
+        # issuing segment dispatches, and blocking on result reads. The
+        # remainder of wall_s is host bookkeeping. Diagnosing engine
+        # slowdowns (e.g. under a mesh) needs this split.
+        t_enc = t_disp_acc = t_wait = 0.0
 
         batches = device_prefetch(Prefetcher(loader, prefetch), self.mesh, prefetch)
         loader_done = False
@@ -508,11 +514,13 @@ class ContinuousServer:
 
         def pull_pack():
             """-> (pack, n_valid) or None when the loader is exhausted."""
-            nonlocal next_ticket, n_total, loader_done
+            nonlocal next_ticket, n_total, loader_done, t_enc
+            t_pp = time.perf_counter()
             try:
                 dev, host = next(batches)
             except StopIteration:
                 loader_done = True
+                t_enc += time.perf_counter() - t_pp
                 return None
             ids = host["_image_ids"]
             gt_list = host.get("_gts")
@@ -534,6 +542,7 @@ class ContinuousServer:
                            if aux is not None else jnp.zeros(e, jnp.int32))
             next_ticket += e
             n_total += n_valid
+            t_enc += time.perf_counter() - t_pp
             return pack, n_valid
 
         raw: deque = deque()     # per-loader-batch packs awaiting fusion
@@ -603,12 +612,14 @@ class ContinuousServer:
         pool = ThreadPoolExecutor(max_workers=max(readers, 1))
 
         def dispatch():
-            nonlocal cur_reset
+            nonlocal cur_reset, t_disp_acc
+            t_d = time.perf_counter()
             self._carry, out = self._segment(
                 self._carry, self.state, cur_pack, jnp.int32(cur_avail),
                 jnp.asarray(cur_reset), self._memory0)
             cur_reset = False
             fut = pool.submit(jax.device_get, out)
+            t_disp_acc += time.perf_counter() - t_d
             inflight.append((fut, cur_id, cur_avail, cur_tickets,
                              time.perf_counter()))
 
@@ -617,7 +628,9 @@ class ContinuousServer:
                 while len(inflight) < depth:
                     dispatch()
                 fut, pack_id, avail, tickets, t_disp = inflight.popleft()
+                t_w = time.perf_counter()
                 metas, bests = fut.result()   # [R, B+1, 2], [R, B, L]
+                t_wait += time.perf_counter() - t_w
                 # steps counts only CONSUMED dispatches: the up-to-``depth``
                 # speculative dispatches in flight at exit (issued after the
                 # final harvest, never read) would otherwise inflate the
@@ -666,7 +679,8 @@ class ContinuousServer:
             records.append(rec)
         stats = {"reports": float(len(records)), "wall_s": wall,
                  "reports_per_s": len(records) / wall if wall > 0 else float("nan"),
-                 "segment_steps": float(steps)}
+                 "segment_steps": float(steps),
+                 "encode_s": t_enc, "dispatch_s": t_disp_acc, "wait_s": t_wait}
         if latencies:
             lat = np.asarray(latencies)
             stats["study_p50_ms"] = float(np.percentile(lat, 50) * 1e3)
