@@ -921,11 +921,13 @@ def main():
     # launch — total spend is bounded by budget + ONE child grace. Round 4's
     # empty artifact came from the opposite policy (floors and retries that
     # overrode the budget summed to ~25 min against 560 s, and the driver's
-    # outer kill landed first). The driver's own kill lands around ~25 min
-    # (BENCH_r04.json: four child kills totalling 1484 s ran to completion
-    # before it); 1000 s + one 90 s grace keeps >6 min of margin while
-    # fitting 384+224+engines+train AND the pipeline family warm.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1000))
+    # outer kill landed first). The driver's own kill lands no earlier than
+    # ~1484 s (BENCH_r04.json: four child kills totalling 1484 s ran to
+    # completion before it); 1080 s + one 90 s grace keeps >5 min of margin
+    # while fitting ping+canary+384+224+engines(+mesh A/B)+train AND the
+    # pipeline family warm (r5 rehearsal: everything but pipeline in 948 s
+    # with the slow pre-fix mesh leg; ~880 s after the shard_batch fix).
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1080))
 
     if "--only" in sys.argv:  # child mode, in-process
         what = sys.argv[sys.argv.index("--only") + 1]
