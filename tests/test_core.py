@@ -83,6 +83,21 @@ class TestMesh:
         sb = shard_batch({"n": np.float32(3.0)}, mesh)
         assert sb["n"].sharding.spec == jax.sharding.PartitionSpec()
 
+    def test_shard_batch_keeps_device_arrays_resident(self, devices):
+        """A device-resident leaf whose sharding already matches the target
+        must be returned UNTOUCHED (`is`), and a device-resident leaf must
+        never round-trip through numpy: through the remote TPU runtime the
+        host pull + re-upload measured a 33x serving-engine slowdown
+        (DESIGN 5r — the dp=1 mesh engine at 3% of un-meshed throughput)."""
+        mesh1 = create_mesh(MeshSpec(dp=1), devices=jax.devices()[:1])
+        x = jax.device_put(jnp.ones((8, 4)))
+        assert shard_batch({"x": x}, mesh1)["x"] is x
+        mesh8 = create_mesh(MeshSpec(dp=8))
+        z = shard_batch({"x": x}, mesh8)["x"]
+        assert z.sharding.spec == jax.sharding.PartitionSpec("dp")
+        # re-sharding an already-correctly-sharded array is a no-op
+        assert shard_batch({"x": z}, mesh8)["x"] is z
+
 
 class TestPrng:
     def test_deterministic(self):
