@@ -52,8 +52,11 @@ VOCAB = int(os.environ.get("BENCH_VOCAB", 30000))
 
 
 def _emit(metric, value, unit, vs=None):
+    # `is not None`, not truthiness: a degraded round legitimately reports
+    # vs_baseline 0.0 (a falsy test silently rewrote it to 1.0)
     print(json.dumps({"metric": metric, "value": round(value, 3), "unit": unit,
-                      "vs_baseline": round(vs, 3) if vs else 1.0}), flush=True)
+                      "vs_baseline": round(vs, 3) if vs is not None else 1.0}),
+          flush=True)
 
 
 def _p50(fn, iters):
@@ -1096,20 +1099,25 @@ def main():
             emit_headline()
         return emitted
 
-    # --- stage 0: ping. Two tries; a tunnel that cannot answer a [256,256]
-    # matmul in 120 s twice is dead — emit an explicit degradation headline
-    # and exit 0 (the artifact then records the tunnel state instead of
-    # nothing, VERDICT r4 weak #1). 120 s, not less: a HEALTHY ping measured
-    # 12-64 s across session windows (imports + backend init through the
-    # tunnel vary that much), and a false dead-tunnel verdict costs the whole
-    # round; a real dead tunnel hangs forever, so the extra slack only costs
-    # 2x45 s in the genuinely-dead case.
+    # --- stage 0: ping with RETRY-AND-BACKOFF. A healthy ping measures
+    # 12-64 s (imports + backend init vary that much through the tunnel); a
+    # 120 s timeout avoids false dead-tunnel verdicts. Crucially the tunnel's
+    # observed outages are TRANSIENT — an r5 rehearsal had both pings time
+    # out and the tunnel answer again minutes later — so a failed ping is
+    # retried with a 45 s backoff for as long as >55% of the budget remains
+    # (canary + the 224 family need ~that much); only when the tunnel stays
+    # dead through that whole window does the run emit an explicit
+    # degradation headline and exit 0 (the artifact then records the tunnel
+    # state instead of nothing, VERDICT r4 weak #1).
     ping_ok = False
-    for attempt in (1, 2):
+    attempt = 0
+    while remaining() > 0.55 * budget_s:
+        attempt += 1
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--only", "ping"],
-                capture_output=True, text=True, timeout=min(120.0, remaining() + grace))
+                capture_output=True, text=True,
+                timeout=min(120.0, remaining() + grace))
             for ln in proc.stderr.splitlines():
                 if ln.startswith("#"):
                     print(ln, file=sys.stderr)
@@ -1117,11 +1125,15 @@ def main():
         except subprocess.TimeoutExpired:
             print(f"# ping attempt {attempt} timed out", file=sys.stderr)
         if ping_ok:
+            if attempt > 1:
+                print(f"# tunnel recovered on ping attempt {attempt} "
+                      f"({budget_s - remaining():.0f}s in)", file=sys.stderr)
             break
+        time.sleep(min(45.0, max(remaining() - 0.55 * budget_s, 0.0)))
     if not ping_ok:
-        _emit("tunnel dead: canary matmul failed twice within 75s — no "
-              "measurement possible this round (see stderr)", 0.0, "reports/s",
-              vs=0.0)
+        _emit(f"tunnel dead: canary matmul failed {attempt}x (120s timeout, "
+              "45s backoff) — no measurement possible this round (see stderr)",
+              0.0, "reports/s", vs=0.0)
         return
 
     # --- stage 1: canary decode — one flagship call, provisional headline.
