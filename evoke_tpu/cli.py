@@ -221,6 +221,17 @@ def _serve(cfg, model, tokenizer, loaders, state) -> int:
         merged, report = mgr.partial_restore_from(cfg.trainer.load, state.params)
         state = state.replace(params=merged)
         print(f"loaded weights: {report}")
+    # --decode.serve_dp N: pure-dp serving mesh — slots/batches shard over
+    # 'dp', the Pallas kernels ride shard_map (ops/sharding.py, DESIGN 5r)
+    mesh = None
+    if cfg.decode.serve_dp:
+        import jax
+
+        from evoke_tpu.core.mesh import MeshSpec, create_mesh
+
+        n = len(jax.devices()) if cfg.decode.serve_dp < 0 else cfg.decode.serve_dp
+        mesh = create_mesh(MeshSpec(dp=n))
+        print(f"serving mesh: dp={n}")
     records: List[Dict] = []
     stats: List[Dict[str, float]] = []
     inc, no = loaders["test"]
@@ -236,7 +247,7 @@ def _serve(cfg, model, tokenizer, loaders, state) -> int:
             suppress_unk=cfg.decode.suppress_unk,
             length_penalty=cfg.decode.length_penalty,
             beam_kv=cfg.decode.beam_kv,
-            kv_cache_dtype=cfg.decode.kv_cache_dtype)
+            kv_cache_dtype=cfg.decode.kv_cache_dtype, mesh=mesh)
         for loader in (inc, no):
             if loader is None:
                 continue
@@ -245,7 +256,7 @@ def _serve(cfg, model, tokenizer, loaders, state) -> int:
             stats.append(st)
     else:
         server = ReportServer(model, tokenizer, state, cfg.decode,
-                              max_seq_len=cfg.data.max_seq_len)
+                              max_seq_len=cfg.data.max_seq_len, mesh=mesh)
         for loader, with_ind in ((inc, True), (no, False)):
             if loader is None:
                 continue

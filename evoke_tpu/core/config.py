@@ -155,6 +155,13 @@ class DecodeConfig:
     # must outlast the depth*dispatch_segs-segment admission lookahead or
     # slots starve around pack switches (decode/continuous.py make_fused)
     pack_batches: int = 4
+    # Serving mesh: 0 = single device (default); N > 0 = a pure-dp mesh over
+    # the first N visible devices; -1 = all visible devices. Batches and the
+    # continuous engine's slots shard over 'dp' (slots and batch sizes must
+    # divide by N), and BOTH Pallas serving kernels stay engaged through
+    # shard_map (ops/sharding.py — measured at single-chip speed per device,
+    # DESIGN 5r). Params replicate.
+    serve_dp: int = 0
 
 
 @dataclass

@@ -195,3 +195,31 @@ class TestServeCLI:
             rows = list(_csv.reader(open(stats["prediction_csv"])))
             results[engine] = {r[0]: r[1] for r in rows[1:]}
         assert results["continuous"] == results["batch"]
+
+    def test_serve_dp_mesh_matches_single_device(self, tmp_path, capsys):
+        """--decode.serve_dp 2: the serving mesh shards slots/batches over
+        'dp' (Pallas kernels ride shard_map on TPU; XLA fallback here on
+        CPU) and serves the same reports as the single-device engine."""
+        root = str(tmp_path)
+        ann = write_synthetic_dataset(root, n_train=4, n_val=2, n_test=3, image_size=32)
+        results = {}
+        for dp, version in (("0", "srv1"), ("2", "srvdp")):
+            rc = cli_main(["serve", "--data.ann_path", ann, "--data.image_dir", root,
+                           "--data.tokenizer_dir", os.path.join(root, "tok"),
+                           "--trainer.result_dir", os.path.join(root, "results"),
+                           "--trainer.version", version,
+                           "--decode.engine", "continuous",
+                           "--decode.serve_dp", dp,
+                           "--decode.slots", "2", "--decode.seg_steps", "4",
+                           "--trainer.seed", "7"] + TINY)
+            assert rc == 0
+            out = capsys.readouterr().out
+            if dp == "2":
+                assert "serving mesh: dp=2" in out
+            out_lines = [l for l in out.splitlines() if l.startswith("{")]
+            stats = json.loads(out_lines[-1])
+            assert stats["reports"] == 3
+            import csv as _csv
+            rows = list(_csv.reader(open(stats["prediction_csv"])))
+            results[dp] = {r[0]: r[1] for r in rows[1:]}
+        assert results["2"] == results["0"]
