@@ -321,7 +321,6 @@ class ContinuousServer:
         self.slots, self.k, self.seg_steps = slots, beam_size, seg_steps
         vocab = tokenizer.get_vocab_size() + 1
         suppress = (tokenizer.unk_id,) if suppress_unk else ()
-        self._tstate_cell: List[Any] = [None]
 
         from evoke_tpu.ops.fused_logit_topk import use_fused_logit_topk
 
@@ -356,22 +355,25 @@ class ContinuousServer:
 
         wrapped = (step_wrapper(raw_step) if step_wrapper and not fused
                    else raw_step)
-        cell = self._tstate_cell
 
-        def step_fn(tok, p, age_rows, dec, att_mask, aux):
-            return wrapped(tok, p, age_rows, dec, att_mask, aux, cell[0])
-
-        seg = make_segment_fn(
-            step_fn, slots=slots, beam_size=beam_size, seg_steps=seg_steps,
+        # weights ride a jit ARGUMENT (tstate) into the step closure — closing
+        # over the concrete state directly would bake 400M params into the
+        # executable as constants. The closure chain (step_fn -> segment) is
+        # built INSIDE the traced function so tstate is captured LEXICALLY per
+        # trace: an earlier cell-side-channel design (`cell[0] = tstate` at
+        # trace time) leaked the first trace's tracer into any RE-trace — a
+        # second serve() with a different loader batch width crashed with
+        # UnexpectedTracerError instead of cleanly retracing. make_segment_fn
+        # construction is pure Python (closure building), so per-trace
+        # reconstruction costs nothing at runtime.
+        seg_cfg = dict(
+            slots=slots, beam_size=beam_size, seg_steps=seg_steps,
             bos_id=tokenizer.bos_id, eos_id=tokenizer.eos_id,
             pad_id=tokenizer.pad_id, vocab_size=vocab, max_len=max_seq_len,
             length_penalty=length_penalty,
             suppress_ids=() if fused else suppress, jit=False,
             fused_topk=fused)
 
-        # weights ride a jit ARGUMENT into the step closure (a cell written at
-        # trace time) — closing over them directly would bake 400M params into
-        # the executable as constants.
         #
         # One dispatch runs ``dispatch_segs`` harvest->admit->decode segments
         # back-to-back in an outer lax.scan: admission is DEVICE-side state
@@ -398,7 +400,10 @@ class ContinuousServer:
         from evoke_tpu.ops.sharding import use_kernel_mesh
 
         def seg_with_state(carry, tstate, pack, avail, reset_pos, memory0):
-            cell[0] = tstate
+            def step_fn(tok, p, age_rows, dec, att_mask, aux):
+                return wrapped(tok, p, age_rows, dec, att_mask, aux, tstate)
+
+            seg = make_segment_fn(step_fn, **seg_cfg)
 
             def body(c, i):
                 c, out = seg(c, pack, avail, reset_pos & (i == 0), memory0)

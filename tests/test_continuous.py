@@ -263,6 +263,31 @@ class TestContinuousServerModel:
             arecs, _ = anc.serve(loader)
             assert {r["id"]: r["report"] for r in arecs} == golden, kernel
 
+    def test_retrace_on_new_loader_width(self, tmp_path):
+        """A second serve() with a DIFFERENT loader batch width must cleanly
+        re-trace the segment, not crash. The original design stored the
+        weight-carrying tstate in a Python cell written at trace time
+        (`cell[0] = tstate`); the first trace's tracer leaked into any
+        re-trace and raised UnexpectedTracerError. The step closure is now
+        built inside the traced function, capturing tstate lexically."""
+        from evoke_tpu.data.batching import MultiviewBatcher
+        from evoke_tpu.data.transforms import make_transform
+        from evoke_tpu.decode.continuous import ContinuousServer
+
+        model, tok, state, loader, examples = _tiny_setup(tmp_path)
+        srv = ContinuousServer(model, tok, state, max_seq_len=16, slots=2,
+                               beam_size=2, seg_steps=4)
+        recs1, _ = srv.serve(loader)
+        tf = make_transform(32, train=False)
+        loader3 = MultiviewBatcher(examples, tok, tf, n_anchor=3,
+                                   max_seq_len=16, image_dir=str(tmp_path),
+                                   shuffle=False, with_indication=False,
+                                   text_field="report", add_bos_eos=True,
+                                   num_workers=2)
+        recs2, _ = srv.serve(loader3)   # different pack width -> retrace
+        assert ({r["id"]: r["report"] for r in recs1}
+                == {r["id"]: r["report"] for r in recs2})
+
     def test_rotation_invariance(self, tmp_path):
         """The same study admitted at different ring offsets produces the
         same report (single-slot engine => every study after the first is
