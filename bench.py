@@ -761,7 +761,7 @@ def bench_canary(image_size=224):
     _emit(f"reports/sec/chip @ {image_size}px beam=3 len={GEN_LEN} (bf16, vocab "
           f"{VOCAB}, batch {b}, canary single-call, p50 batch latency "
           f"{p50 * 1e3:.1f} ms)", b / p50, "reports/s",
-          vs=b / p50 / BASELINE_RPS)
+          vs=b / p50 / BASELINE_RPS if image_size == 224 else None)
 
 
 def bench_pipeline(image_size, batch, steps):
@@ -1057,13 +1057,17 @@ def main():
         _emit(desc + " [headline]", best["value"], "reports/s",
               vs=best["value"] / BASELINE_RPS)
 
-    def run_family(name, alloc):
+    def run_family(name, alloc, clamp=True):
         """One kill-safe child interpreter; returns # of JSON lines it emitted.
 
         ``alloc`` is clamped to the time remaining; the child's kill timeout
         is alloc + grace, so the whole run overshoots the budget by AT MOST
-        one grace (the child in flight when the budget expires)."""
-        alloc = min(alloc, remaining())
+        one grace (the child in flight when the budget expires).
+        ``clamp=False`` is the explicit-force escape hatch (BENCH_PIPELINE=1
+        runs even over budget — an unclamped alloc would otherwise be cut to
+        the spent budget's <=0 remainder and killed at startup)."""
+        if clamp:
+            alloc = min(alloc, remaining())
         child_env = dict(os.environ, BENCH_BUDGET_S=str(max(alloc, 1.0)))
         timeout = alloc + grace
         try:
@@ -1131,7 +1135,7 @@ def main():
             break
         time.sleep(min(45.0, max(remaining() - 0.55 * budget_s, 0.0)))
     if not ping_ok:
-        _emit(f"tunnel dead: canary matmul failed {attempt}x (120s timeout, "
+        _emit(f"tunnel dead: ping matmul failed {attempt}x (120s timeout, "
               "45s backoff) — no measurement possible this round (see stderr)",
               0.0, "reports/s", vs=0.0)
         return
@@ -1204,9 +1208,10 @@ def main():
     # real-I/O number — runs when budget remains (BENCH_PIPELINE=0 disables,
     # =1 forces even over budget)
     force_pipe = os.environ.get("BENCH_PIPELINE", "")
-    if force_pipe != "0" and (remaining() > 100.0 or force_pipe == "1"):
-        run_family("pipeline", remaining() if force_pipe != "1"
-                   else max(remaining(), 150.0))
+    if force_pipe == "1":
+        run_family("pipeline", max(remaining(), 150.0), clamp=False)
+    elif force_pipe != "0" and remaining() > 100.0:
+        run_family("pipeline", remaining())
     elif force_pipe != "0":
         print(f"# pipeline family skipped: {remaining():.0f}s of budget left "
               "(<100s)", file=sys.stderr)

@@ -287,15 +287,25 @@ class TestMeshKernels:
         # explicit beam_kv always wins
         cfg2 = SimpleNamespace(beam_kv="ancestor", kv_cache_dtype="")
         assert resolve_beam_kv(cfg2, serving=False, mesh=mp_mesh) == "ancestor"
-        # use_pallas_lineage declines an mp mesh and a non-divisible batch on
-        # the auto path even when the backend/width checks would pass
+        # use_pallas_lineage's mesh gates, exercised on CPU by patching the
+        # backend probe (the auto path checks backend=='tpu' first, which
+        # would otherwise short-circuit every mesh branch out of the suite)
         from evoke_tpu.ops import lineage_attention as la
 
-        ck = jnp.zeros((6, 4, 128), jnp.float32)
-        anc6 = jnp.zeros((6 // 2, 2, 4), jnp.int32)   # b=3, not divisible by 8
-        if jax.default_backend() == "tpu":  # pragma: no cover - CPU suite
+        monkey_backend = la.jax.default_backend
+        try:
+            la.jax.default_backend = lambda: "tpu"
+            ck = jnp.zeros((6, 4, 128), jnp.float32)
+            anc_div = jnp.zeros((8, 3, 4), jnp.int32)     # b=8: divides dp=8
+            anc_odd = jnp.zeros((3, 2, 4), jnp.int32)     # b=3: does not
+            assert la.use_pallas_lineage(ck)              # no mesh
+            with use_kernel_mesh(dp_mesh):
+                assert la.use_pallas_lineage(ck, anc_div)
+                assert not la.use_pallas_lineage(ck, anc_odd)   # divisibility
             with use_kernel_mesh(mp_mesh):
-                assert not la.use_pallas_lineage(ck, anc6)
+                assert not la.use_pallas_lineage(ck, anc_div)   # mp > 1
+        finally:
+            la.jax.default_backend = monkey_backend
 
     def test_dp_engine_kernel_path_matches_fused_goldens(self, devices,
                                                          tmp_path, monkeypatch):
